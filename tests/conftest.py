@@ -1,0 +1,87 @@
+"""Test configuration: force CPU backend with 8 virtual devices so multi-chip
+sharding logic is exercised without TPU hardware (mirrors the driver's
+dryrun_multichip environment)."""
+
+import os
+import sys
+import types
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU tunnel
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# jax may already be imported by a sitecustomize hook that registered a TPU backend;
+# jax.config.update works even then (backends are initialized lazily).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def load_reference_module(rel_path: str, name: str):
+    """Import a reference source file by path as a parity oracle.
+
+    Missing optional deps of the reference (ipdb, ftfy, timm, ...) are shimmed with
+    minimal stand-ins so the oracle modules import on this machine.
+    """
+    import importlib.util
+
+    _install_shims()
+    path = os.path.join(REFERENCE_ROOT, rel_path)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _install_shims():
+    if "ipdb" not in sys.modules:
+        ipdb = types.ModuleType("ipdb")
+        ipdb.set_trace = lambda: None
+        sys.modules["ipdb"] = ipdb
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            ftfy = types.ModuleType("ftfy")
+            ftfy.fix_text = lambda s: s
+            ftfy.ftfy = lambda s: s
+            sys.modules["ftfy"] = ftfy
+    if "timm" not in sys.modules:
+        try:
+            import timm  # noqa: F401
+        except ImportError:
+            import torch.nn as nn
+
+            timm = types.ModuleType("timm")
+            models = types.ModuleType("timm.models")
+            layers = types.ModuleType("timm.models.layers")
+
+            class DropPath(nn.Identity):
+                def __init__(self, *a, **k):
+                    super().__init__()
+
+            def trunc_normal_(t, std=1.0, **k):
+                with __import__("torch").no_grad():
+                    t.normal_(0, std)
+                return t
+
+            def to_2tuple(x):
+                return (x, x) if not isinstance(x, tuple) else x
+
+            layers.DropPath = DropPath
+            layers.trunc_normal_ = trunc_normal_
+            layers.to_2tuple = to_2tuple
+            layers.StdConv2dSame = nn.Conv2d
+            models.layers = layers
+            timm.models = models
+            sys.modules["timm"] = timm
+            sys.modules["timm.models"] = models
+            sys.modules["timm.models.layers"] = layers
