@@ -54,6 +54,17 @@ def _install_shims():
             ftfy.fix_text = lambda s: s
             ftfy.ftfy = lambda s: s
             sys.modules["ftfy"] = ftfy
+    if "OpenCLIP" not in sys.modules:
+        openclip = types.ModuleType("OpenCLIP")
+        oc_utils = types.ModuleType("OpenCLIP.utils")
+
+        def to_2tuple(x):
+            return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+        oc_utils.to_2tuple = to_2tuple
+        openclip.utils = oc_utils
+        sys.modules["OpenCLIP"] = openclip
+        sys.modules["OpenCLIP.utils"] = oc_utils
     if "timm" not in sys.modules:
         try:
             import timm  # noqa: F401

@@ -1,0 +1,55 @@
+"""Transcript-sorting head.
+
+Behavioral contract: reference v2/model/sort_transformer.py (== v1 copy):
+2-layer pre-norm transformer (LayerNorm eps 1e-6) over the concatenation
+[video_tokens + type0 ; text_tokens + type1], then LayerNorm + linear head applied
+to the text-position slice only (:124-142). Output: [B, n_text, num_classes] logits
+scoring which temporal clip each transcript belongs to.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tvts_tpu.models.configs import SortConfig
+from tvts_tpu.models.layers import LayerNormF32, Mlp, SelfAttention
+
+
+class SortBlock(nn.Module):
+    cfg: SortConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = x + SelfAttention(cfg.embed_dim, cfg.num_heads, dtype=self.dtype,
+                              name="attn")(LayerNormF32(eps=1e-6, name="norm1")(x))
+        x = x + Mlp(int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, act="gelu",
+                    dtype=self.dtype, name="mlp")(
+            LayerNormF32(eps=1e-6, name="norm2")(x))
+        return x
+
+
+class SortTransformer(nn.Module):
+    cfg: SortConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_tokens: jnp.ndarray, video_tokens: jnp.ndarray) -> jnp.ndarray:
+        """text_tokens: [B, n_trans, D] per-clip text embeddings (detached upstream);
+        video_tokens: [B, S, D] video order tokens. Returns [B, n_trans, num_classes]."""
+        cfg = self.cfg
+        type_embed = self.param("type_embed", nn.initializers.zeros,
+                                (1, 2, cfg.embed_dim))
+        type_embed = type_embed.astype(self.dtype)
+        v = video_tokens + type_embed[:, 0:1]
+        t = text_tokens + type_embed[:, 1:2]
+        x_len = v.shape[1]
+        x = jnp.concatenate([v, t], axis=1)
+
+        for i in range(cfg.depth):
+            x = SortBlock(cfg, dtype=self.dtype, name=f"blocks_{i}")(x)
+
+        x = LayerNormF32(eps=1e-6, name="norm")(x[:, x_len:])
+        return nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(x)

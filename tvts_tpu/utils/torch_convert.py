@@ -1,0 +1,165 @@
+"""PyTorch checkpoint -> Flax param tree conversion.
+
+Handles the two checkpoint sources the reference framework consumes:
+1. Released TVTS/TVTSv2 training checkpoints — `.pth` dicts whose `state_dict` maps
+   module paths of the TVTSv2_* classes (video_model.*, text_model.resblocks.*,
+   text_token_embedding.*, pred_model.*), optionally `module.`-prefixed from DDP
+   (reference utils/util.py:25-51, `state_dict_data_parallel_fix`).
+2. Raw CLIP / OpenCLIP tower weights used as pretrain init — the reference remaps
+   `in_proj_* -> qkv.*` and `out_proj -> proj` before a strict=False load into the
+   video tower (model_dist_TVTSv2_ViT_B_16.py:33-45); `convert_clip_visual` mirrors
+   that, leaving the new parameters (timeattn, ln_3, temporal_embedding, sort head)
+   at their fresh init.
+
+No torch import is required: pass any mapping of key -> numpy array (use
+`load_torch_state_dict` when torch is available).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def strip_ddp_prefix(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+_SKIP = ("attn_mask", "num_batches_tracked", "logit_scale")
+
+# plain nn.Parameter tensors that map through unchanged (no .weight/.bias suffix)
+_DIRECT_PARAMS = {
+    "class_embedding", "positional_embedding", "temporal_embedding", "proj",
+    "text_projection", "type_embed", "gamma",
+}
+
+
+def _convert_key(key: str, arr: np.ndarray):
+    """One torch key -> (flax path tuple, converted array), or None to skip."""
+    if any(s in key for s in _SKIP):
+        return None
+
+    parts = key.split(".")
+
+    # ---- top-level renames into the TVTSv2 flax layout ----
+    flat = key
+    flat = re.sub(r"^text_token_embedding\.weight$", "text_model.token_embedding.weight", flat)
+    flat = re.sub(r"^text_positional_embedding$", "text_model.positional_embedding", flat)
+    flat = re.sub(r"^text_ln_final\.", "text_model.ln_final.", flat)
+    flat = re.sub(r"^text_projection$", "text_model.text_projection", flat)
+    flat = re.sub(r"^text_model\.resblocks\.(\d+)\.", r"text_model.blocks_\1.", flat)
+    flat = re.sub(r"\.transformer\.resblocks\.(\d+)\.", r".blocks_\1.", flat)
+    flat = re.sub(r"^pred_model\.blocks\.(\d+)\.", r"pred_model.blocks_\1.", flat)
+    # sort head MLP uses fc1/fc2 names (sort_transformer.py:21-23)
+    flat = re.sub(r"\.mlp\.fc1\.", ".mlp.c_fc.", flat)
+    flat = re.sub(r"\.mlp\.fc2\.", ".mlp.c_proj.", flat)
+    # torch MultiheadAttention fused projections (text towers)
+    flat = flat.replace(".attn.in_proj_weight", ".attn.qkv.weight")
+    flat = flat.replace(".attn.in_proj_bias", ".attn.qkv.bias")
+    flat = flat.replace(".attn.out_proj.", ".attn.proj.")
+
+    parts = flat.split(".")
+    leaf = parts[-1]
+
+    if leaf == "weight":
+        owner = parts[-2]
+        if arr.ndim == 4:  # conv patchify: [out, in, kh, kw] -> [kh, kw, in, out]
+            return tuple(parts[:-1]) + ("kernel",), arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:
+            if owner == "token_embedding":
+                return tuple(parts[:-1]) + ("embedding",), arr
+            return tuple(parts[:-1]) + ("kernel",), arr.T
+        if arr.ndim == 1:  # LayerNorm weight
+            return tuple(parts[:-1]) + ("scale",), arr
+        raise ValueError(f"unhandled weight shape {arr.shape} for {key}")
+    if leaf == "bias":
+        return tuple(parts[:-1]) + ("bias",), arr
+    if leaf in _DIRECT_PARAMS:
+        if leaf == "type_embed":
+            return tuple(parts), arr
+        return tuple(parts), arr
+    raise ValueError(f"unhandled key {key}")
+
+
+def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
+    """Full TVTSv2 (or component) torch state_dict -> nested flax param dict."""
+    sd = strip_ddp_prefix(sd)
+    tree: dict = {}
+    for k, v in sd.items():
+        out = _convert_key(k, np.asarray(v))
+        if out is None:
+            continue
+        path, arr = out
+        _set(tree, path, arr)
+    return tree
+
+
+def convert_clip_visual(visual_sd: Mapping[str, np.ndarray]) -> dict:
+    """Raw CLIP `visual.*` state_dict -> partial video-tower params.
+
+    Mirrors the reference remap (model_dist_TVTSv2_ViT_B_16.py:33-45):
+    in_proj_* -> qkv.*, out_proj -> proj; the space-time-only params (timeattn,
+    ln_3, temporal_embedding) are absent and must come from fresh init.
+    """
+    remapped = {}
+    for k, v in visual_sd.items():
+        k = re.sub(r"^visual\.", "", k)
+        k = k.replace("in_proj_", "qkv.")
+        k = k.replace("out_proj", "proj")
+        remapped[f"video_model.{k}"] = v
+    return convert_state_dict(remapped)
+
+
+def merge_params(init_params: dict, loaded: dict, strict: bool = False) -> dict:
+    """Overlay `loaded` onto `init_params` (fresh init fills anything missing).
+
+    With strict=True, raises if `loaded` contains a path absent from init or with a
+    mismatched shape.
+    """
+    import jax
+
+    flat_init = dict(_flatten(init_params))
+    flat_loaded = dict(_flatten(loaded))
+    unused = []
+    for path, arr in flat_loaded.items():
+        if path not in flat_init:
+            unused.append(path)
+            continue
+        if tuple(flat_init[path].shape) != tuple(arr.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"init {flat_init[path].shape} vs loaded {arr.shape}")
+        flat_init[path] = np.asarray(arr, dtype=np.asarray(flat_init[path]).dtype)
+    if strict and unused:
+        raise ValueError(f"unused loaded params: {['/'.join(p) for p in unused]}")
+    tree: dict = {}
+    for path, arr in flat_init.items():
+        _set(tree, path, arr)
+    return jax.tree.map(lambda x: x, tree)
+
+
+def _flatten(tree: dict, prefix: tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
