@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: TVTSv2 ViT-B/16 video feature extraction throughput.
+
+This is the reference framework's out-of-the-box use case
+(v2/downstream/feature_extraction_TVTSv2_B_16.py): encode 12-frame 224x224 clips
+with the full keep set (no tube masking) and produce the [512] video embedding.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: measured clips/sec/chip divided by the estimated reference throughput
+on A100 (the reference publishes no throughput numbers — BASELINE.md; we estimate
+~100 clips/s for torch fp16 eager divided space-time attention at ~230 GFLOPs/clip
+on A100). The north star (BASELINE.json) asks for >=5x that on TPU v5e.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_CLIPS_PER_SEC = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tvts_tpu.models import tvtsv2_b_16
+    from tvts_tpu.models.space_time_vit import SpaceTimeViT
+
+    cfg = tvtsv2_b_16().eval_config().vision  # mask_ratio 0 = extraction mode
+    model = SpaceTimeViT(cfg, dtype=jnp.bfloat16)
+
+    B = 16
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(B, cfg.num_frames, 3, cfg.input_resolution,
+                                         cfg.input_resolution)).astype(np.float32))
+    keep = jnp.asarray(np.tile(np.arange(cfg.patches_per_frame, dtype=np.int32),
+                               (B, 1)))
+
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+
+    @jax.jit
+    def extract(params, video, keep):
+        pooled, _ = model.apply({"params": params}, video, keep)
+        return pooled
+
+    # warmup / compile
+    jax.block_until_ready(extract(params, video, keep))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = extract(params, video, keep)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = B * n_iters / dt
+    print(json.dumps({
+        "metric": "tvtsv2_b16_extract_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Functional training / evaluation steps.
+
+Behavioral contract: reference v2/trainer/trainer.py:463-499 (one optimizer step per
+dataloader per batch): forward -> all_gather embeds -> sim_matrix(video, text) ->
+NormSoftmaxLoss + 2x sort cross-entropy -> backward -> AdamW step.
+
+TPU-first notes: under jit with a device mesh, `video_emb`/`text_emb` are global
+arrays — computing the full similarity matrix makes XLA insert the all_gather over
+the data axes, and AD through it reproduces the reference's AllGather_multi
+slice-gradient + DDP grad-allreduce semantics exactly (SURVEY §5, distributed
+backend). No explicit collectives needed. `donate` the state for in-place buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from tvts_tpu.ops.losses import norm_softmax_loss, sort_accuracy, sort_loss
+from tvts_tpu.ops.sim import sim_matrix
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_loss_fn(model, temperature: float = 0.05) -> Callable:
+    def loss_fn(params, batch):
+        text_emb, video_emb, pred_order = model.apply(
+            {"params": params}, batch["video"], batch["text_ids"],
+            batch.get("keep_ind"))
+        sim = sim_matrix(video_emb, text_emb)
+        loss_ct = norm_softmax_loss(sim, temperature)
+        if pred_order is not None and "labels" in batch:
+            loss_ce = sort_loss(pred_order, batch["labels"])
+            s_acc = sort_accuracy(pred_order, batch["labels"])
+        else:
+            loss_ce = jnp.zeros(())
+            s_acc = jnp.zeros(())
+        loss = loss_ct + loss_ce
+        aux = {"loss": loss, "loss_ct": loss_ct, "loss_ce": loss_ce,
+               "sort_acc": s_acc}
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    temperature: float = 0.05, donate: bool = True) -> Callable:
+    loss_fn = make_loss_fn(model, temperature)
+
+    def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, aux
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, temperature: float = 0.05) -> Callable:
+    """Validation step: returns embeddings + per-batch losses (reference
+    _valid_epoch gathers embeddings per batch, trainer.py:527-635)."""
+    loss_fn = make_loss_fn(model, temperature)
+
+    @jax.jit
+    def eval_step(params, batch):
+        text_emb, video_emb, pred_order = model.apply(
+            {"params": params}, batch["video"], batch["text_ids"],
+            batch.get("keep_ind"))
+        out = {"text_emb": text_emb, "video_emb": video_emb}
+        if pred_order is not None and "labels" in batch:
+            out["sort_acc"] = sort_accuracy(pred_order, batch["labels"])
+        _, aux = loss_fn(params, batch)
+        out["loss"] = aux["loss"]
+        return out
+
+    return eval_step
+
+
+def make_embed_fns(model) -> tuple[Callable, Callable]:
+    """Jitted text / video embedding extractors for the zero-shot eval harness."""
+
+    @jax.jit
+    def embed_text(params, token_ids):
+        return model.apply({"params": params}, token_ids,
+                           method=lambda m, t: m.compute_text(t))
+
+    @partial(jax.jit, static_argnums=())
+    def embed_video(params, video, keep_ind=None):
+        pooled, _ = model.apply(
+            {"params": params}, video, keep_ind,
+            method=lambda m, v, k: m.compute_video(v, k))
+        return pooled
+
+    return embed_text, embed_video
