@@ -45,14 +45,15 @@ def main():
         pooled, _ = model.apply({"params": params}, video, keep)
         return pooled
 
-    # warmup / compile
-    jax.block_until_ready(extract(params, video, keep))
+    # warmup / compile (fetch the result — on tunneled platforms block_until_ready
+    # alone does not force execution)
+    float(jnp.sum(extract(params, video, keep)))
 
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = extract(params, video, keep)
-    jax.block_until_ready(out)
+    outs = [extract(params, video, keep) for _ in range(n_iters)]
+    # force every iteration to materialize before stopping the clock
+    float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
     dt = time.perf_counter() - t0
 
     clips_per_sec = B * n_iters / dt

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""TVTSv2 distributed pretraining driver (covers ViT-B/32, B/16, H/14 by config).
+
+Mirrors the reference entry points v2/train_dist_TVTSv2_ViT_{B_32,B_16,H_14}.py:
+JSON config + CLI overrides (-lr/-bs, --schedule), YT-Temporal + WebVid joint
+training, 4-group AdamW, milestone LR decay, init validation, checkpointing.
+
+TPU-native launch: one process per host (`jax.distributed.initialize` when
+--coordinator is given), SPMD over a dp/fsdp/tp mesh instead of
+torch.distributed.launch per-GPU processes.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="TVTSv2 TPU pretraining")
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-r", "--resume", default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port for multi-host jax.distributed.initialize")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--schedule", type=int, nargs="*", default=[6, 8])
+    ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("-lr", "--learning_rate", type=float, default=None)
+    ap.add_argument("-bs", "--batch_size", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.coordinator:
+        import jax
+
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tvts_tpu.models.factory import build_model
+    from tvts_tpu.parallel import create_mesh, shard_params
+    from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+    from tvts_tpu.train.trainer import Trainer
+    from tvts_tpu.utils.checkpoint import CheckpointManager
+    from tvts_tpu.utils.config import ConfigParser, read_json
+
+    config = ConfigParser(read_json(args.config), resume=args.resume)
+    arch = config["arch"]["type"]
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg, model, params = build_model(
+        arch, load_checkpoint=config["arch"]["args"].get("load_checkpoint") or None,
+        eval_mode=False, dtype=dtype, remat=(arch == "TVTSv2_H_14"), strict=False)
+
+    # data
+    dl_specs = config["data_loader"]
+    if isinstance(dl_specs, dict):
+        dl_specs = [dl_specs]
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    loaders, val_loaders = [], []
+    for spec in dl_specs:
+        _, loader = config.initialize_dataset_loader(spec, overrides)
+        loaders.append(loader)
+        try:
+            _, vloader = config.initialize_dataset_loader(
+                spec, {**overrides, "split": "val", "shuffle": False})
+            val_loaders.append(vloader)
+        except Exception as e:
+            print(f"no val split for {spec['args'].get('dataset_name')}: {e}")
+
+    # optimizer (4-group AdamW, frozen text layers, milestone decay)
+    steps_per_epoch = max(max(len(dl) for dl in loaders), 1)
+    ocfg = OptimizerConfig(
+        lr_new=args.learning_rate or 1e-4,
+        text_layers=cfg.text.layers,
+        text_tune_layers=6 if arch == "TVTSv2_H_14" else 3,
+        schedule=tuple(args.schedule),
+        steps_per_epoch=steps_per_epoch * len(loaders))
+    tx = make_optimizer(params, ocfg)
+
+    mesh = create_mesh(fsdp=args.fsdp, tp=args.tp)
+    with mesh:
+        params = shard_params(params, mesh)
+        tcfg = config["trainer"]
+        ckpt = CheckpointManager(config.save_dir, tcfg.get("save_period", 1),
+                                 tcfg.get("monitor", "off"))
+        trainer = Trainer(model, params, tx, loaders, val_loaders,
+                          epochs=tcfg.get("epochs", 10), mesh=mesh,
+                          ckpt_manager=ckpt, init_val=tcfg.get("init_val", False),
+                          max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),
+                          context_length=cfg.text.context_length)
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

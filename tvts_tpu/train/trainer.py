@@ -1,0 +1,166 @@
+"""Pretraining driver: multi-dataset round-robin epochs, validation, checkpoints.
+
+Behavioral contract: reference v2/trainer/trainer.py (`Trainer_TVTSv2_*`) +
+v2/base/base_trainer.py (`Multi_BaseTrainer_dist`):
+
+- one optimizer step per dataloader per iteration; the YTT loader defines
+  len_epoch, other loaders restart their iterators when exhausted (:149-167,
+  :451-461)
+- text: concat the per-clip caption lists then CLIP-tokenize truncate=True
+  (:465-473); YTT yields 4 transcripts/sample (sort loss on), WebVid 1 (off)
+- optional init validation before epoch 1 (base_trainer.py:87-88)
+- per-epoch validation: embeddings + sort accuracy -> sim matrix -> t2v/v2t
+  metrics + val_loss per loader (:527-635)
+- rank-0 checkpointing with monitor/best ("min val_loss_0") (base_trainer:119-189)
+- milestone LR decay is part of the optax schedule (train/optim.py)
+
+TPU-first notes: one jitted train_step per distinct batch shape (YTT vs WebVid
+differ in text length only); batches are device_put with the mesh batch sharding;
+the loss computes the GLOBAL sim matrix, XLA inserting the embedding all_gather.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvts_tpu.eval.embed import verbose
+from tvts_tpu.ops import metrics as metrics_mod
+from tvts_tpu.ops.losses import norm_softmax_loss
+from tvts_tpu.ops.sim import sim_matrix
+from tvts_tpu.parallel import shard_batch
+from tvts_tpu.text.tokenizer import tokenize_openclip
+from tvts_tpu.train.step import create_train_state, make_eval_step, make_train_step
+
+
+def prepare_batch(batch, context_length: int = 77):
+    """Collated loader batch -> numeric arrays for the train step."""
+    text = batch["text"]
+    if isinstance(text, list) and text and isinstance(text[0], list):
+        flat = [cap for clip_caps in text for cap in clip_caps]  # clip-major concat
+    else:
+        flat = list(text)
+    ids = tokenize_openclip(flat, context_length=context_length)
+    out = {
+        "video": batch["video"].astype(np.float32),
+        "text_ids": ids,
+        "keep_ind": batch["keep_ind"].astype(np.int32),
+    }
+    if "label" in batch and np.ndim(batch["label"]) == 2:
+        out["labels"] = np.asarray(batch["label"]).astype(np.int32)
+    return out
+
+
+class Trainer:
+    def __init__(self, model, params, tx, data_loaders, valid_loaders=None,
+                 epochs: int = 10, mesh=None, ckpt_manager=None,
+                 init_val: bool = False, max_samples_per_epoch: int | None = None,
+                 context_length: int = 77, log_step: int = 50, writer=None):
+        self.model = model
+        self.tx = tx
+        self.data_loaders = list(data_loaders)
+        self.valid_loaders = list(valid_loaders or [])
+        self.epochs = epochs
+        self.mesh = mesh
+        self.ckpt = ckpt_manager
+        self.init_val = init_val
+        self.max_samples_per_epoch = max_samples_per_epoch
+        self.context_length = context_length
+        self.log_step = log_step
+        self.writer = writer
+
+        # copy params into the state: train_step donates its input state, and the
+        # caller's arrays must stay valid (e.g. for a final eval with the originals)
+        params = jax.tree.map(jnp.copy, params)
+        self.state = create_train_state(params, tx)
+        self.train_step = make_train_step(model, tx, donate=True)
+        self.eval_step = make_eval_step(model)
+
+    def _len_epoch(self) -> int:
+        n = max(len(dl) for dl in self.data_loaders)
+        if self.max_samples_per_epoch:
+            per_step = self.data_loaders[0].batch_size * max(
+                1, self.data_loaders[0].num_processes)
+            n = min(n, self.max_samples_per_epoch // per_step)
+        return max(n, 1)
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self):
+        log = {}
+        if self.init_val and self.valid_loaders:
+            log.update(self._valid_epoch(0))
+        for epoch in range(1, self.epochs + 1):
+            log = self._train_epoch(epoch)
+            if self.valid_loaders:
+                val_log = self._valid_epoch(epoch)
+                log.update(val_log)
+            if self.ckpt is not None:
+                self.ckpt.save_epoch(epoch, {"params": self.state.params},
+                                     val_log=log)
+            print(f"epoch {epoch}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in log.items() if np.isscalar(v)))
+        return log
+
+    def _train_epoch(self, epoch: int) -> dict:
+        for dl in self.data_loaders:
+            dl.set_epoch(epoch)
+        len_epoch = self._len_epoch()
+        iters = [iter(dl) for dl in self.data_loaders]
+        totals = [0.0] * len(self.data_loaders)
+        t0 = time.time()
+
+        for batch_idx in range(len_epoch):
+            for dl_idx in range(len(self.data_loaders)):
+                try:
+                    raw = next(iters[dl_idx])
+                except StopIteration:
+                    iters[dl_idx] = iter(self.data_loaders[dl_idx])
+                    raw = next(iters[dl_idx])
+                batch = self._put(prepare_batch(raw, self.context_length))
+                self.state, aux = self.train_step(self.state, batch)
+                loss = float(aux["loss"])
+                totals[dl_idx] += loss
+                if self.writer is not None:
+                    self.writer(f"loss_train_{dl_idx}", loss, int(self.state.step))
+                if batch_idx % self.log_step == 0:
+                    print(f"Train Epoch: {epoch} dl{dl_idx} [{batch_idx}/{len_epoch}] "
+                          f"Loss_ct: {float(aux['loss_ct']):.6f} "
+                          f"Loss_ce: {float(aux['loss_ce']):.6f} "
+                          f"steps/s: {(batch_idx + 1) / (time.time() - t0):.2f}",
+                          flush=True)
+
+        return {f"loss_{i}": totals[i] / len_epoch for i in range(len(self.data_loaders))}
+
+    def _valid_epoch(self, epoch: int) -> dict:
+        log = {}
+        for dl_idx, dl in enumerate(self.valid_loaders):
+            txts, vids, sort_accs = [], [], []
+            for raw in dl:
+                batch = self._put(prepare_batch(raw, self.context_length))
+                out = self.eval_step(self.state.params, batch)
+                txts.append(np.asarray(out["text_emb"], dtype=np.float32))
+                vids.append(np.asarray(out["video_emb"], dtype=np.float32))
+                if "sort_acc" in out:
+                    sort_accs.append(float(out["sort_acc"]))
+            if not txts:
+                continue
+            txt = np.concatenate(txts)
+            vid = np.concatenate(vids)
+            sims = np.asarray(sim_matrix(jnp.asarray(txt), jnp.asarray(vid)))
+            log[f"val_loss_{dl_idx}"] = float(norm_softmax_loss(jnp.asarray(sims)))
+            for name in ("t2v_metrics", "v2t_metrics"):
+                res = getattr(metrics_mod, name)(sims)
+                verbose(epoch=epoch, metrics=res, name=f"val_{dl_idx}", mode=name)
+                log[f"val_{dl_idx}_{name}_R1"] = res["R1"]
+            if sort_accs:
+                acc = float(np.mean(sort_accs))
+                log[f"val_{dl_idx}_sort_acc"] = acc
+                print(f"Top-1 Accuracy for Frame Prediction: {acc:.4f}")
+        return log
