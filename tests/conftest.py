@@ -41,22 +41,30 @@ def load_reference_module(rel_path: str, name: str):
     return mod
 
 
+def _shim_module(name: str) -> types.ModuleType:
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _install_shims():
     if "ipdb" not in sys.modules:
-        ipdb = types.ModuleType("ipdb")
+        ipdb = _shim_module("ipdb")
         ipdb.set_trace = lambda: None
         sys.modules["ipdb"] = ipdb
     if "ftfy" not in sys.modules:
         try:
             import ftfy  # noqa: F401
         except ImportError:
-            ftfy = types.ModuleType("ftfy")
+            ftfy = _shim_module("ftfy")
             ftfy.fix_text = lambda s: s
             ftfy.ftfy = lambda s: s
             sys.modules["ftfy"] = ftfy
     if "OpenCLIP" not in sys.modules:
-        openclip = types.ModuleType("OpenCLIP")
-        oc_utils = types.ModuleType("OpenCLIP.utils")
+        openclip = _shim_module("OpenCLIP")
+        oc_utils = _shim_module("OpenCLIP.utils")
 
         def to_2tuple(x):
             return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
@@ -71,9 +79,9 @@ def _install_shims():
         except ImportError:
             import torch.nn as nn
 
-            timm = types.ModuleType("timm")
-            models = types.ModuleType("timm.models")
-            layers = types.ModuleType("timm.models.layers")
+            timm = _shim_module("timm")
+            models = _shim_module("timm.models")
+            layers = _shim_module("timm.models.layers")
 
             class DropPath(nn.Identity):
                 def __init__(self, *a, **k):

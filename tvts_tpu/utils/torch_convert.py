@@ -50,6 +50,7 @@ _SKIP = ("attn_mask", "num_batches_tracked", "logit_scale")
 _DIRECT_PARAMS = {
     "class_embedding", "positional_embedding", "temporal_embedding", "proj",
     "text_projection", "type_embed", "gamma",
+    "cls_token", "pos_embed", "temporal_embed",  # v1 JointViT
 }
 
 
@@ -82,6 +83,8 @@ def _convert_key(key: str, arr: np.ndarray):
 
     if leaf == "weight":
         owner = parts[-2]
+        if arr.ndim == 5:  # Conv3d tubelet: [out, in, kt, kh, kw] -> [kt, kh, kw, in, out]
+            return tuple(parts[:-1]) + ("kernel",), arr.transpose(2, 3, 4, 1, 0)
         if arr.ndim == 4:  # conv patchify: [out, in, kh, kw] -> [kh, kw, in, out]
             return tuple(parts[:-1]) + ("kernel",), arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:
@@ -111,6 +114,56 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
         path, arr = out
         _set(tree, path, arr)
     return tree
+
+
+def convert_v1_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
+    """TVTS v1 checkpoint (model_dist_TVTS.py module paths) -> flax params for
+    models.tvts_v1.TVTSv1. Handles the HF DistilBERT subtree, the Conv3d tubelet
+    patchify, per-tube JointViT params, and the Sequential projection heads
+    (txt_proj.1 / vid_proj.0)."""
+    from tvts_tpu.models.distilbert import convert_distilbert_state_dict
+
+    sd = strip_ddp_prefix(sd)
+    tree: dict = {}
+    text_sd = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k.startswith("text_model."):
+            text_sd[k[len("text_model."):]] = v
+            continue
+        if k.startswith("txt_proj.1."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            _set(tree, ("txt_proj", leaf), v.T if leaf == "kernel" else v)
+            continue
+        if k.startswith("vid_proj.0."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            _set(tree, ("vid_proj", leaf), v.T if leaf == "kernel" else v)
+            continue
+        if k.startswith("video_model."):
+            k2 = re.sub(r"^video_model\.blocks\.(\d+)\.", r"video_model.blocks_\1.", k)
+            k2 = k2.replace("patch_embed.proj.", "patch_embed.")
+            out = _convert_key(k2, v)
+            if out is not None:
+                _set(tree, *out)
+            continue
+        out = _convert_key(k, v)
+        if out is not None:
+            _set(tree, *out)
+    if text_sd:
+        tree["text_model"] = convert_distilbert_state_dict(text_sd)
+    return tree
+
+
+def inflate_mae_2d_to_3d(sd: Mapping[str, np.ndarray],
+                         tubelet_size: int = 2) -> dict[str, np.ndarray]:
+    """MAE IN-1K 2D patch-embed -> tubelet Conv3d inflation (reference
+    model_dist_TVTS.py:56-59: unsqueeze(2).repeat over the time kernel dim)."""
+    out = dict(sd)
+    key = "patch_embed.proj.weight"
+    if key in out and np.asarray(out[key]).ndim == 4:
+        w = np.asarray(out[key])  # [D, 3, p, p]
+        out[key] = np.repeat(w[:, :, None], tubelet_size, axis=2)
+    return out
 
 
 def convert_clip_visual(visual_sd: Mapping[str, np.ndarray]) -> dict:
