@@ -55,7 +55,11 @@ class YTTemporal:
                  mask_ratio: float = 0.0,
                  meta_root: str = "meta_data",
                  num_clips: int = 4,
-                 max_try: int = 5):
+                 max_try: int = 5,
+                 per_tube_masks: int = 0):
+        # per_tube_masks > 0 -> v1-style keep_ind [n_tubes, n_keep], a different
+        # spatial keep set per tube (v1/data_loader/YTTemporal_dataset.py:207-215);
+        # 0 -> v2-style single shared mask.
         self.dataset_name = dataset_name
         self.video_params = video_params
         self.data_dir = os.path.expandvars(data_dir)
@@ -67,6 +71,7 @@ class YTTemporal:
         self.patches_per_frame = patches_per_frame
         self.mask_ratio = mask_ratio
         self.max_try = max_try
+        self.per_tube_masks = per_tube_masks
         self.min_time = 4.0
         self.interval = 1
 
@@ -140,7 +145,12 @@ class YTTemporal:
                                rng=rng)
 
         n_keep = int(self.patches_per_frame * (1 - self.mask_ratio))
-        keep_ind = rng.permutation(self.patches_per_frame)[:n_keep].astype(np.int32)
+        if self.per_tube_masks > 0:
+            keep_ind = np.stack([
+                rng.permutation(self.patches_per_frame)[:n_keep]
+                for _ in range(self.per_tube_masks)]).astype(np.int32)
+        else:
+            keep_ind = rng.permutation(self.patches_per_frame)[:n_keep].astype(np.int32)
 
         return {
             "video": imgs.astype(np.float32),

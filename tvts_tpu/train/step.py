@@ -37,11 +37,26 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def make_loss_fn(model, temperature: float = 0.05) -> Callable:
+def default_apply(model):
+    """Forward adapter for TVTSv2-style batches; TVTSv1 batches additionally
+    carry an attention_mask (DistilBERT tower)."""
+
+    def apply(params, batch):
+        if "attention_mask" in batch:
+            return model.apply({"params": params}, batch["video"],
+                               batch["text_ids"], batch["attention_mask"],
+                               batch.get("keep_ind"))
+        return model.apply({"params": params}, batch["video"],
+                           batch["text_ids"], batch.get("keep_ind"))
+
+    return apply
+
+
+def make_loss_fn(model, temperature: float = 0.05, apply_fn: Callable | None = None) -> Callable:
+    fwd = apply_fn or default_apply(model)
+
     def loss_fn(params, batch):
-        text_emb, video_emb, pred_order = model.apply(
-            {"params": params}, batch["video"], batch["text_ids"],
-            batch.get("keep_ind"))
+        text_emb, video_emb, pred_order = fwd(params, batch)
         sim = sim_matrix(video_emb, text_emb)
         loss_ct = norm_softmax_loss(sim, temperature)
         if pred_order is not None and "labels" in batch:
@@ -59,8 +74,9 @@ def make_loss_fn(model, temperature: float = 0.05) -> Callable:
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    temperature: float = 0.05, donate: bool = True) -> Callable:
-    loss_fn = make_loss_fn(model, temperature)
+                    temperature: float = 0.05, donate: bool = True,
+                    apply_fn: Callable | None = None) -> Callable:
+    loss_fn = make_loss_fn(model, temperature, apply_fn)
 
     def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -74,16 +90,16 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, temperature: float = 0.05) -> Callable:
+def make_eval_step(model, temperature: float = 0.05,
+                   apply_fn: Callable | None = None) -> Callable:
     """Validation step: returns embeddings + per-batch losses (reference
     _valid_epoch gathers embeddings per batch, trainer.py:527-635)."""
-    loss_fn = make_loss_fn(model, temperature)
+    fwd = apply_fn or default_apply(model)
+    loss_fn = make_loss_fn(model, temperature, apply_fn)
 
     @jax.jit
     def eval_step(params, batch):
-        text_emb, video_emb, pred_order = model.apply(
-            {"params": params}, batch["video"], batch["text_ids"],
-            batch.get("keep_ind"))
+        text_emb, video_emb, pred_order = fwd(params, batch)
         out = {"text_emb": text_emb, "video_emb": video_emb}
         if pred_order is not None and "labels" in batch:
             out["sort_acc"] = sort_accuracy(pred_order, batch["labels"])

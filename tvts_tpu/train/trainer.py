@@ -36,19 +36,43 @@ from tvts_tpu.text.tokenizer import tokenize_openclip
 from tvts_tpu.train.step import create_train_state, make_eval_step, make_train_step
 
 
-def prepare_batch(batch, context_length: int = 77):
+def clip_tokenize_fn(context_length: int = 77):
+    """Default text pipeline: CLIP BPE, truncate (v2 towers)."""
+
+    def fn(texts):
+        return {"text_ids": tokenize_openclip(texts, context_length=context_length)}
+
+    return fn
+
+
+def wordpiece_tokenize_fn(vocab_path: str | None = None, max_length: int = 50):
+    """v1 text pipeline: DistilBERT WordPiece with attention mask (reference
+    v1/trainer/trainer.py:130-131, statically padded to max_length)."""
+    from tvts_tpu.text.wordpiece import WordPieceTokenizer
+
+    tk = WordPieceTokenizer(vocab_path)
+
+    def fn(texts):
+        enc = tk(texts, max_length=max_length)
+        return {"text_ids": enc["input_ids"],
+                "attention_mask": enc["attention_mask"]}
+
+    return fn
+
+
+def prepare_batch(batch, context_length: int = 77, tokenize_fn=None):
     """Collated loader batch -> numeric arrays for the train step."""
     text = batch["text"]
     if isinstance(text, list) and text and isinstance(text[0], list):
         flat = [cap for clip_caps in text for cap in clip_caps]  # clip-major concat
     else:
         flat = list(text)
-    ids = tokenize_openclip(flat, context_length=context_length)
+    tokenize_fn = tokenize_fn or clip_tokenize_fn(context_length)
     out = {
         "video": batch["video"].astype(np.float32),
-        "text_ids": ids,
         "keep_ind": batch["keep_ind"].astype(np.int32),
     }
+    out.update(tokenize_fn(flat))
     if "label" in batch and np.ndim(batch["label"]) == 2:
         out["labels"] = np.asarray(batch["label"]).astype(np.int32)
     return out
@@ -58,7 +82,8 @@ class Trainer:
     def __init__(self, model, params, tx, data_loaders, valid_loaders=None,
                  epochs: int = 10, mesh=None, ckpt_manager=None,
                  init_val: bool = False, max_samples_per_epoch: int | None = None,
-                 context_length: int = 77, log_step: int = 50, writer=None):
+                 context_length: int = 77, log_step: int = 50, writer=None,
+                 tokenize_fn=None, apply_fn=None):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -71,13 +96,14 @@ class Trainer:
         self.context_length = context_length
         self.log_step = log_step
         self.writer = writer
+        self.tokenize_fn = tokenize_fn
 
         # copy params into the state: train_step donates its input state, and the
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
         params = jax.tree.map(jnp.copy, params)
         self.state = create_train_state(params, tx)
-        self.train_step = make_train_step(model, tx, donate=True)
-        self.eval_step = make_eval_step(model)
+        self.train_step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
+        self.eval_step = make_eval_step(model, apply_fn=apply_fn)
 
     def _len_epoch(self) -> int:
         n = max(len(dl) for dl in self.data_loaders)
@@ -123,7 +149,7 @@ class Trainer:
                 except StopIteration:
                     iters[dl_idx] = iter(self.data_loaders[dl_idx])
                     raw = next(iters[dl_idx])
-                batch = self._put(prepare_batch(raw, self.context_length))
+                batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
                 self.state, aux = self.train_step(self.state, batch)
                 loss = float(aux["loss"])
                 totals[dl_idx] += loss
@@ -143,7 +169,7 @@ class Trainer:
         for dl_idx, dl in enumerate(self.valid_loaders):
             txts, vids, sort_accs = [], [], []
             for raw in dl:
-                batch = self._put(prepare_batch(raw, self.context_length))
+                batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
                 out = self.eval_step(self.state.params, batch)
                 txts.append(np.asarray(out["text_emb"], dtype=np.float32))
                 vids.append(np.asarray(out["video_emb"], dtype=np.float32))
