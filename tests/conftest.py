@@ -95,12 +95,23 @@ def _install_shims():
             def to_2tuple(x):
                 return (x, x) if not isinstance(x, tuple) else x
 
+            def drop_path(x, drop_prob=0.0, training=False):
+                return x
+
+            def register_model(fn):
+                return fn
+
+            registry = _shim_module("timm.models.registry")
+            registry.register_model = register_model
             layers.DropPath = DropPath
             layers.trunc_normal_ = trunc_normal_
             layers.to_2tuple = to_2tuple
+            layers.drop_path = drop_path
             layers.StdConv2dSame = nn.Conv2d
             models.layers = layers
+            models.registry = registry
             timm.models = models
             sys.modules["timm"] = timm
             sys.modules["timm.models"] = models
             sys.modules["timm.models.layers"] = layers
+            sys.modules["timm.models.registry"] = registry

@@ -43,35 +43,45 @@ def divided_space_time_attention(
 
     q, k, v: [B, H, S, d] with S = 1 + num_frames * patches_per_frame, frame-major
     patch layout, q pre-scaled by 1/sqrt(d). Returns [B, H, S, d].
+
+    Layouts were chosen by on-chip measurement (tools/attn_variants.py): for
+    'space', direct no-transpose einsums over [B, H, T, N, d] (~17x faster than a
+    group-major transpose formulation); for 'time', groups folded into one batch
+    dim so XLA emits a single batched matmul over [B*H*N, T, d].
     """
     B, H, S, d = q.shape
     T, N = num_frames, patches_per_frame
     assert S == 1 + T * N, f"token count {S} != 1 + {T}*{N}"
 
     cls_out = full_attention(q[:, :, :1], k, v)  # [B, H, 1, d]
-
-    def group(x):
-        x = x.reshape(B, H, T, N, d)
-        if mode == "time":
-            # groups indexed by spatial location, sequence axis = frames
-            return x.transpose(0, 1, 3, 2, 4)  # [B, H, N, T, d]
-        if mode == "space":
-            return x  # [B, H, T, N, d]
-        raise ValueError(f"unknown mode {mode!r}")
-
-    qg, kg, vg = group(q[:, :, 1:]), group(k[:, :, 1:]), group(v[:, :, 1:])
     cls_k, cls_v = k[:, :, 0], v[:, :, 0]  # [B, H, d]
 
-    # [B, H, G, L, L] intra-group logits + [B, H, G, L] CLS-column logits
-    logits = jnp.einsum("bhgid,bhgjd->bhgij", qg, kg)
-    cls_logit = jnp.einsum("bhgid,bhd->bhgi", qg, cls_k)
-    p = _softmax_f32(jnp.concatenate([cls_logit[..., None], logits], axis=-1), q.dtype)
+    q5 = q[:, :, 1:].reshape(B, H, T, N, d)
+    k5 = k[:, :, 1:].reshape(B, H, T, N, d)
+    v5 = v[:, :, 1:].reshape(B, H, T, N, d)
 
-    out = jnp.einsum("bhgij,bhgjd->bhgid", p[..., 1:], vg)
-    out = out + p[..., :1] * cls_v[:, :, None, None, :]
+    if mode == "space":
+        # per-frame attention over the N patches; CLS spliced in algebraically
+        logits = jnp.einsum("bhtnd,bhtmd->bhtnm", q5, k5)
+        cls_l = jnp.einsum("bhtnd,bhd->bhtn", q5, cls_k)
+        p = _softmax_f32(jnp.concatenate([cls_l[..., None], logits], -1), q.dtype)
+        out = jnp.einsum("bhtnm,bhtmd->bhtnd", p[..., 1:], v5)
+        out = out + p[..., 0][..., None] * cls_v[:, :, None, None, :]
+    elif mode == "time":
+        # per-location attention over the T frames; fold (B,H,N) into batch
+        def fold(x):  # [B,H,T,N,d] -> [B*H*N, T, d]
+            return x.transpose(0, 1, 3, 2, 4).reshape(B * H * N, T, d)
 
-    if mode == "time":
-        out = out.transpose(0, 1, 3, 2, 4)  # [B, H, T, N, d]
+        qg, kg, vg = fold(q5), fold(k5), fold(v5)
+        ck = jnp.repeat(cls_k.reshape(B * H, 1, d), N, axis=0)
+        cv = jnp.repeat(cls_v.reshape(B * H, 1, d), N, axis=0)
+        p = _softmax_f32(jnp.einsum(
+            "gid,gjd->gij", qg, jnp.concatenate([ck, kg], axis=1)), q.dtype)
+        out = jnp.einsum("gij,gjd->gid", p, jnp.concatenate([cv, vg], axis=1))
+        out = out.reshape(B, H, N, T, d).transpose(0, 1, 3, 2, 4)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
     out = out.reshape(B, H, T * N, d)
     return jnp.concatenate([cls_out, out], axis=2)
 

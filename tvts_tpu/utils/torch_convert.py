@@ -123,7 +123,15 @@ def convert_v1_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     (txt_proj.1 / vid_proj.0)."""
     from tvts_tpu.models.distilbert import convert_distilbert_state_dict
 
-    sd = strip_ddp_prefix(sd)
+    sd = dict(strip_ddp_prefix(sd))
+    # VideoMAE-style attention biases: qkv Linear is bias-free with separate
+    # q_bias/v_bias params and an implicit zero k bias (modeling_finetune.py:68-86)
+    for k in [k for k in sd if k.endswith(".attn.q_bias")]:
+        base = k[: -len("q_bias")]
+        qb = np.asarray(sd.pop(k))
+        vb = np.asarray(sd.pop(base + "v_bias"))
+        sd[base + "qkv.bias"] = np.concatenate([qb, np.zeros_like(qb), vb])
+
     tree: dict = {}
     text_sd = {}
     for k, v in sd.items():
