@@ -66,10 +66,21 @@ def test_pretrain_epoch_on_ytt(ytt_tree, tiny_model, tmp_path):  # noqa: F811
 
     # checkpoint round-trip
     restored = ckpt.restore("checkpoint-epoch1",
-                            {"params": trainer.state.params})
+                            {"params": trainer.state.params,
+                             "opt_state": trainer.state.opt_state,
+                             "step": trainer.state.step})
     a = np.asarray(trainer.state.params["pred_model"]["head"]["kernel"])
     b = np.asarray(restored["params"]["pred_model"]["head"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+    # resume: a fresh trainer restores state and continues at epoch 2
+    trainer2 = Trainer(model, params, tx, [loader], valid_loaders=[],
+                       epochs=1, ckpt_manager=ckpt, log_step=10,
+                       context_length=cfg.text.context_length)
+    assert trainer2.resume() == 2
+    assert int(trainer2.state.step) == len(loader)
+    c = np.asarray(trainer2.state.params["pred_model"]["head"]["kernel"])
+    np.testing.assert_array_equal(a, c)
 
 
 def test_prepare_batch_ytt_shapes(ytt_tree):  # noqa: F811

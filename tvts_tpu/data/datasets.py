@@ -368,9 +368,11 @@ DATASET_REGISTRY = {
 
 def dataset_loader(dataset_name: str, *args, **kwargs):
     """Name -> dataset dispatch (reference data_loader.py:15-68)."""
+    from tvts_tpu.data.image_datasets import ConceptualCaptions3M
     from tvts_tpu.data.ytt import YTTemporal
 
-    registry = dict(DATASET_REGISTRY, YTTemporal=YTTemporal)
+    registry = dict(DATASET_REGISTRY, YTTemporal=YTTemporal,
+                    ConceptualCaptions3M=ConceptualCaptions3M)
     if dataset_name not in registry:
         raise NotImplementedError(f"dataset {dataset_name} not implemented")
     return registry[dataset_name](dataset_name, *args, **kwargs)

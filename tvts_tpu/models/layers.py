@@ -77,12 +77,16 @@ def _ones_init(key, shape, dtype):
 
 
 class VarAttention(nn.Module):
-    """Divided space/time attention with CLS broadcast (see ops/attention.py)."""
+    """Divided space/time attention with CLS broadcast (see ops/attention.py).
+
+    use_pallas=True switches the attention core to the fused Pallas kernels
+    (ops/pallas_attention.py; forward-only — keep False for training)."""
 
     dim: int
     num_heads: int
     zero_init: bool = False  # time-attention init: qkv zeros, proj weight ones
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int, patches_per_frame: int,
@@ -99,7 +103,14 @@ class VarAttention(nn.Module):
         k = split_heads(k, self.num_heads)
         v = split_heads(v, self.num_heads)
 
-        out = divided_space_time_attention(q, k, v, num_frames, patches_per_frame, mode)
+        if self.use_pallas:
+            from tvts_tpu.ops.pallas_attention import divided_space_time_attention_fused
+
+            out = divided_space_time_attention_fused(q, k, v, num_frames,
+                                                     patches_per_frame, mode)
+        else:
+            out = divided_space_time_attention(q, k, v, num_frames,
+                                               patches_per_frame, mode)
         out = merge_heads(out)
         return nn.Dense(self.dim, dtype=self.dtype, kernel_init=proj_kernel_init,
                         name="proj")(out)

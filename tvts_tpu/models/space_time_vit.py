@@ -46,6 +46,7 @@ class LayerScale(nn.Module):
 class SpaceTimeBlock(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int, patches_per_frame: int):
@@ -57,11 +58,12 @@ class SpaceTimeBlock(nn.Module):
             return LayerScale(cfg.width, cfg.ls_init, dtype=self.dtype, name=name)
 
         t_out = VarAttention(cfg.width, cfg.heads, zero_init=True, dtype=self.dtype,
-                             name="timeattn")(
+                             use_pallas=self.use_pallas, name="timeattn")(
             LayerNormF32(name="ln_3")(x), num_frames, patches_per_frame, mode="time")
         time_residual = x + scale("ls_3")(t_out)
 
-        s_out = VarAttention(cfg.width, cfg.heads, dtype=self.dtype, name="attn")(
+        s_out = VarAttention(cfg.width, cfg.heads, dtype=self.dtype,
+                             use_pallas=self.use_pallas, name="attn")(
             LayerNormF32(name="ln_1")(time_residual), num_frames, patches_per_frame,
             mode="space")
         # NOTE: both residuals branch from the block input x (reference :118-121).
@@ -77,6 +79,7 @@ class SpaceTimeViT(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_pallas: bool = False  # fused attention kernels (forward-only)
 
     @nn.compact
     def __call__(self, video: jnp.ndarray, keep_ind: jnp.ndarray | None = None):
@@ -124,7 +127,8 @@ class SpaceTimeViT(nn.Module):
         if self.remat:
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3))
         for i in range(cfg.layers):
-            x = block_cls(cfg, dtype=self.dtype, name=f"blocks_{i}")(x, T, n_keep)
+            x = block_cls(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                          name=f"blocks_{i}")(x, T, n_keep)
 
         proj = self.param("proj", nn.initializers.normal(scale),
                           (cfg.width, cfg.output_dim))

@@ -118,18 +118,42 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def resume(self, tag: str | None = None) -> int:
+        """Restore params/optimizer/step from a checkpoint (reference
+        _resume_checkpoint, base_trainer.py:191-247). Returns the next epoch."""
+        assert self.ckpt is not None, "no checkpoint manager configured"
+        if tag is None:
+            latest = self.ckpt.latest_epoch()
+            if latest is None:
+                return 1
+            tag = f"checkpoint-epoch{latest}"
+        target = {"params": self.state.params, "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = self.ckpt.restore(tag, target)
+        from tvts_tpu.train.step import TrainState
+
+        self.state = TrainState(step=restored["step"], params=restored["params"],
+                                opt_state=restored["opt_state"])
+        self.start_epoch = (int(tag.split("epoch")[-1]) + 1
+                            if "epoch" in tag else 1)
+        print(f"resumed from {tag}; continuing at epoch {self.start_epoch}")
+        return self.start_epoch
+
     def train(self):
         log = {}
-        if self.init_val and self.valid_loaders:
+        start = getattr(self, "start_epoch", 1)
+        if self.init_val and self.valid_loaders and start == 1:
             log.update(self._valid_epoch(0))
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start, self.epochs + 1):
             log = self._train_epoch(epoch)
             if self.valid_loaders:
                 val_log = self._valid_epoch(epoch)
                 log.update(val_log)
             if self.ckpt is not None:
-                self.ckpt.save_epoch(epoch, {"params": self.state.params},
-                                     val_log=log)
+                self.ckpt.save_epoch(
+                    epoch, {"params": self.state.params,
+                            "opt_state": self.state.opt_state,
+                            "step": self.state.step}, val_log=log)
             print(f"epoch {epoch}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in log.items() if np.isscalar(v)))
         return log
