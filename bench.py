@@ -14,6 +14,7 @@ on A100). The north star (BASELINE.json) asks for >=5x that on TPU v5e.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -29,9 +30,10 @@ def main():
     from tvts_tpu.models.space_time_vit import SpaceTimeViT
 
     cfg = tvtsv2_b_16().eval_config().vision  # mask_ratio 0 = extraction mode
-    model = SpaceTimeViT(cfg, dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("TVTS_TPU_BENCH_PALLAS", "1") == "1"
+    model = SpaceTimeViT(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
 
-    B = 16
+    B = int(os.environ.get("TVTS_TPU_BENCH_BATCH", "32"))
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(B, cfg.num_frames, 3, cfg.input_resolution,
                                          cfg.input_resolution)).astype(np.float32))
