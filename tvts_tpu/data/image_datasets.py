@@ -104,6 +104,63 @@ class TextImageDataset:
         }
 
 
+class TextImageTarDataset(TextImageDataset):
+    """Tar-sharded image dataset (reference base_dataset.py:198-221): images live
+    in tar shards; each worker thread keeps its own tar handles (tarfile objects
+    are not thread-safe — the reference's per-worker handle pattern)."""
+
+    def __init__(self, *args, **kwargs):
+        import threading
+
+        self._tls = threading.local()
+        super().__init__(*args, **kwargs)
+
+    def _tar_handle(self, tar_path: str):
+        import tarfile
+
+        cache = getattr(self._tls, "tars", None)
+        if cache is None:
+            cache = self._tls.tars = {}
+        if tar_path not in cache:
+            cache[tar_path] = tarfile.open(tar_path, "r")
+        return cache[tar_path]
+
+    def _load_image(self, tar_rel: str, member: str) -> Image.Image:
+        import io
+
+        tar = self._tar_handle(os.path.join(self.data_dir, tar_rel))
+        data = tar.extractfile(member).read()
+        return Image.open(io.BytesIO(data))
+
+    def _load_metadata(self):
+        """tsv rows: caption, tar shard relative path, member name."""
+        md = pd.read_csv(os.path.join(self.meta_root, f"{self.dataset_name.lower()}_{self.split}.tsv"),
+                         sep="\t")
+        self.metadata = md
+
+    def __getitem__(self, item):
+        rng = np.random.default_rng(random.getrandbits(63))
+        sample = self.metadata.iloc[item % len(self.metadata)]
+        res = self.video_params["input_res"]
+        try:
+            img = self._load_image(sample.iloc[1], sample.iloc[2])
+            arr = image_transform(img, res, self.split, rng)
+        except Exception:
+            if self.video_params.get("loading", "strict") == "strict":
+                raise
+            arr = np.zeros((3, res, res), dtype=np.float32)
+        n_keep = int(self.patches_per_frame * (1 - self.mask_ratio))
+        keep = rng.permutation(self.patches_per_frame)[:n_keep].astype(np.int32)
+        caption = self._get_caption(sample)
+        return {
+            "video": arr[None].astype(np.float32),
+            "text": caption,
+            "keep_ind": keep,
+            "meta": {"raw_captions": caption, "paths": str(sample.iloc[2]),
+                     "dataset": self.dataset_name},
+        }
+
+
 class ConceptualCaptions3M(TextImageDataset):
     """CC3M (reference v1/data_loader/ConceptualCaptions_dataset.py): tsv rows
     of (caption, relative image path) per split."""
