@@ -152,7 +152,15 @@ int tvts_decode(const char* path, const int64_t* idxs, int n_idxs, int out_w,
     }
   };
 
+  // re-seek instead of decoding through large gaps between sparse requests
+  const int64_t kSeekGapThreshold = 48;
+
   while (req < n_idxs && !err) {
+    if (!need_seek && cur_frame >= 0 &&
+        idxs[order[req]] > cur_frame + kSeekGapThreshold) {
+      need_seek = true;
+      seek_target = idxs[order[req]];
+    }
     if (need_seek) {
       // seek to keyframe at/before the target frame's timestamp
       int64_t ts = (fp > 0)

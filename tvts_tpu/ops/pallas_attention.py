@@ -29,35 +29,37 @@ from tvts_tpu.ops.attention import full_attention
 
 
 def _space_attention_fused(qp, kp, vp, cls_k, cls_v):
-    """qp/kp/vp: [BHT, N, d]; cls_k/cls_v: [BH, 1, d] (T groups share a CLS row)
-    -> [BHT, N, d]."""
-    BHT, N, d = qp.shape
-    BH = cls_k.shape[0]
-    T = BHT // BH
-    group_spec = pl.BlockSpec((1, N, d), lambda i: (i, 0, 0),
+    """qp/kp/vp: [B, T, H, N, d]; cls_k/cls_v: [B, H, 1, d] -> [B, T, H, N, d].
+
+    One program per (batch, frame); the head loop unrolls in-kernel so the DMA
+    of the frame's [H, N, d] tiles is amortized over all H head matmuls.
+    """
+    B, T, H, N, d = qp.shape
+    group_spec = pl.BlockSpec((1, 1, H, N, d), lambda b, t: (b, t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-    cls_spec = pl.BlockSpec((1, 1, d), lambda i: (i // T, 0, 0),
+    cls_spec = pl.BlockSpec((1, H, 1, d), lambda b, t: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        ck = ck_ref[0]
-        cv = cv_ref[0]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)     # [N, N]
-        cls_logit = jnp.dot(q, ck.T, preferred_element_type=jnp.float32)  # [N, 1]
-        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-        p = jnp.exp(logits - m)
-        p_cls = jnp.exp(cls_logit - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-        out = jnp.dot(p.astype(q.dtype), v, preferred_element_type=jnp.float32)
-        out = out + p_cls * cv.astype(jnp.float32)
-        o_ref[0] = (out / denom).astype(o_ref.dtype)
+        for h in range(H):
+            q = q_ref[0, 0, h]
+            k = k_ref[0, 0, h]
+            v = v_ref[0, 0, h]
+            ck = ck_ref[0, h]
+            cv = cv_ref[0, h]
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [N, N]
+            cls_logit = jnp.dot(q, ck.T, preferred_element_type=jnp.float32)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            out = jnp.dot(p.astype(q.dtype), v, preferred_element_type=jnp.float32)
+            out = out + p_cls * cv.astype(jnp.float32)
+            o_ref[0, 0, h] = (out / denom).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
-        grid=(BHT,),
+        grid=(B, T),
         in_specs=[group_spec, group_spec, group_spec, cls_spec, cls_spec],
         out_specs=group_spec,
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
@@ -118,9 +120,11 @@ def divided_space_time_attention_fused(
     cls_v = v[:, :, 0].reshape(B * H, 1, d)
 
     if mode == "space":
-        def fold(x):
-            return x[:, :, 1:].reshape(B * H * T, N, d)
+        def fold(x):  # [B,H,S,d] -> [B,T,H,N,d]
+            return x[:, :, 1:].reshape(B, H, T, N, d).transpose(0, 2, 1, 3, 4)
         fn = _space_attention_fused
+        cls_k = cls_k.reshape(B, H, 1, d)
+        cls_v = cls_v.reshape(B, H, 1, d)
     else:
         def fold(x):
             return x[:, :, 1:].reshape(B * H, T, N, d)
@@ -129,6 +133,8 @@ def divided_space_time_attention_fused(
     if interpret:
         fn = functools.partial(_interpret_call, fn)
     out = fn(fold(q), fold(k), fold(v), cls_k, cls_v)
+    if mode == "space":
+        out = out.transpose(0, 2, 1, 3, 4)  # back to [B,H,T,N,d]
     out = out.reshape(B, H, T * N, d)
     return jnp.concatenate([cls_out, out], axis=2)
 
