@@ -1,0 +1,16 @@
+#!/usr/bin/env python
+"""Reference-named alias for scripts/zero_ssv2_mc_TVTSv2.py (arch TVTSv2_B_16).
+
+The reference ships one near-identical file per tower
+(v2/downstream/zero_ssv2_mc_TVTSv2_ViT_B_16.py); here each alias pins the arch and
+delegates to the parameterized driver.
+"""
+
+import sys
+
+sys.argv[0] = "scripts/zero_ssv2_mc_TVTSv2.py"
+
+from zero_ssv2_mc_TVTSv2 import main
+
+if __name__ == "__main__":
+    main()
