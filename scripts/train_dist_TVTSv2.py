@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("-lr", "--learning_rate", type=float, default=None)
     ap.add_argument("-bs", "--batch_size", type=int, default=None)
+    ap.add_argument("--clip_init", default=None,
+                    help="path to a CLIP/OpenCLIP .pt state dict to initialize "
+                         "the towers (the reference's clip.load init path)")
     args = ap.parse_args()
 
     if args.coordinator:
@@ -56,6 +59,17 @@ def main():
     cfg, model, params = build_model(
         arch, load_checkpoint=config["arch"]["args"].get("load_checkpoint") or None,
         eval_mode=False, dtype=dtype, remat=(arch == "TVTSv2_H_14"), strict=False)
+
+    if args.clip_init:
+        # initialize from raw CLIP weights: visual tower via the in_proj->qkv
+        # remap (model_dist_TVTSv2_*.py:33-45), text tower via the standard map;
+        # space-time-only params (timeattn/ln_3/temporal_embedding) stay fresh
+        from tvts_tpu.utils.torch_convert import (
+            convert_clip_full, load_torch_state_dict, merge_params)
+
+        sd = load_torch_state_dict(args.clip_init)
+        params = merge_params(params, convert_clip_full(sd), strict=False)
+        print(f"towers initialized from CLIP weights: {args.clip_init}")
 
     # data
     dl_specs = config["data_loader"]

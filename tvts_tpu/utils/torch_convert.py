@@ -190,6 +190,29 @@ def convert_clip_visual(visual_sd: Mapping[str, np.ndarray]) -> dict:
     return convert_state_dict(remapped)
 
 
+def convert_clip_full(sd: Mapping[str, np.ndarray]) -> dict:
+    """Raw OpenAI-CLIP state_dict (visual.* + text params at top level) ->
+    partial TVTSv2 flax params: visual tower via `convert_clip_visual`, text
+    tower via the standard map. Space-time-only params are absent (fresh init),
+    matching the reference's strict=False CLIP load (model_dist_*.py:33-45)."""
+    visual = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    text = {}
+    for k, v in sd.items():
+        if k.startswith("visual.") or k.startswith("logit_scale"):
+            continue
+        if k.startswith("transformer."):
+            text[f"text_model.{k}"] = v  # .transformer.resblocks.N -> blocks_N
+        elif k == "text_projection":
+            text[k] = v
+        else:  # token_embedding.weight / positional_embedding / ln_final.*
+            text[f"text_{k}"] = v
+    tree = convert_clip_visual(visual)
+    text_tree = convert_state_dict(text)
+    for key, sub in text_tree.items():
+        tree[key] = sub
+    return tree
+
+
 def merge_params(init_params: dict, loaded: dict, strict: bool = False) -> dict:
     """Overlay `loaded` onto `init_params` (fresh init fills anything missing).
 
