@@ -28,13 +28,14 @@ def build_model(arch_type: str,
                 eval_mode: bool = True,
                 dtype=jnp.float32,
                 remat: bool = False,
-                strict: bool = True):
+                strict: bool = True,
+                use_pallas: bool = False):
     """(cfg, model, params). `load_checkpoint` may be a torch .pth, an .npz export,
     or an orbax directory."""
     cfg = MODEL_REGISTRY[arch_type]()
     if eval_mode:
         cfg = cfg.eval_config()
-    model = TVTSv2(cfg, dtype=dtype, remat=remat)
+    model = TVTSv2(cfg, dtype=dtype, remat=remat, use_pallas=use_pallas)
     params = init_params(model, cfg)
 
     if load_checkpoint:

@@ -103,7 +103,10 @@ class VarAttention(nn.Module):
         k = split_heads(k, self.num_heads)
         v = split_heads(v, self.num_heads)
 
-        if self.use_pallas:
+        # on-chip measurement (PERF.md): the fused kernel wins for space
+        # (2.3x — kills the softmax HBM passes); the XLA path wins for time
+        # (T=12 groups are too small for the kernel's unrolled loop)
+        if self.use_pallas and mode == "space":
             from tvts_tpu.ops.pallas_attention import divided_space_time_attention_fused
 
             out = divided_space_time_attention_fused(q, k, v, num_frames,

@@ -31,10 +31,12 @@ class TVTSv2(nn.Module):
     cfg: TVTSv2Config
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_pallas: bool = False  # fused attention kernels (forward-only)
 
     def setup(self):
         self.video_model = SpaceTimeViT(self.cfg.vision, dtype=self.dtype,
-                                        remat=self.remat)
+                                        remat=self.remat,
+                                        use_pallas=self.use_pallas)
         self.text_model = TextTransformer(self.cfg.text, dtype=self.dtype,
                                           remat=self.remat)
         self.pred_model = SortTransformer(self.cfg.sort, dtype=self.dtype)
