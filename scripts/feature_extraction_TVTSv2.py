@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
+    from tvts_tpu.models.configs import MODEL_REGISTRY
+
     ap.add_argument("--arch", default="TVTSv2_B_16",
-                    choices=["TVTSv2_B_32", "TVTSv2_B_16", "TVTSv2_H_14"])
+                    choices=sorted(MODEL_REGISTRY))
     ap.add_argument("--video_path", required=True)
     ap.add_argument("--load_checkpoint", default=None)
     ap.add_argument("--out", default=None, help="save embedding to .npy")

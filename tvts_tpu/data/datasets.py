@@ -301,23 +301,25 @@ class Kinetics400(_PromptClassDataset):
 
 
 class HMDB51(_PromptClassDataset):
-    split_files = {"train": "hmdb51/prompt/hmdb51_train_list_videos.tsv",
-                   "val": "hmdb51/prompt/hmdb51_val_list_videos.tsv",
-                   "test": "hmdb51/prompt/hmdb51_val_list_videos.tsv"}
+    # reference HMDB51_dataset.py: split_1 lists, video path relative to data_dir
+    split_files = {"train": "hmdb51/prompt/split_1_train_list.tsv",
+                   "val": "hmdb51/prompt/split_1_test_list.tsv",
+                   "test": "hmdb51/prompt/split_1_test_list.tsv"}
 
     def _get_video_path(self, sample):
         rel = sample.iloc[0]
-        return os.path.join(self.data_dir, "videos", rel), rel
+        return os.path.join(self.data_dir, rel), rel
 
 
 class UCF101(_PromptClassDataset):
-    split_files = {"train": "ucf101/prompt/ucf101_train_list_videos.tsv",
-                   "val": "ucf101/prompt/ucf101_val_list_videos.tsv",
-                   "test": "ucf101/prompt/ucf101_val_list_videos.tsv"}
+    # reference UCF101_dataset.py: trainlist01/testlist01 tsvs
+    split_files = {"train": "ucf101/prompt/trainlist01_new.tsv",
+                   "val": "ucf101/prompt/testlist01_new.tsv",
+                   "test": "ucf101/prompt/testlist01_new.tsv"}
 
     def _get_video_path(self, sample):
         rel = sample.iloc[0]
-        return os.path.join(self.data_dir, "videos", rel), rel
+        return os.path.join(self.data_dir, rel), rel
 
 
 class SSV2_mc(TextVideoDataset):
