@@ -80,6 +80,19 @@ class SpaceTimeViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas: bool = False  # fused attention kernels (forward-only)
+    # sequence-parallel extension: PartitionSpec-style tuple for the [B, S, D]
+    # token activations, e.g. (("dp", "fsdp"), "sp", None). GSPMD reshards
+    # around the divided-attention einsums automatically.
+    token_partition: tuple | None = None
+
+    def _constrain(self, x):
+        if self.token_partition is None:
+            return x
+        import jax
+        from jax.sharding import PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, PartitionSpec(*self.token_partition))
 
     @nn.compact
     def __call__(self, video: jnp.ndarray, keep_ind: jnp.ndarray | None = None):
@@ -121,6 +134,7 @@ class SpaceTimeViT(nn.Module):
         x = jnp.concatenate([cls, x.reshape(B, -1, cfg.width)], axis=1)
 
         x = LayerNormF32(name="ln_pre")(x)
+        x = self._constrain(x)
 
         n_keep = (x.shape[1] - 1) // T
         block_cls = SpaceTimeBlock
@@ -129,6 +143,7 @@ class SpaceTimeViT(nn.Module):
         for i in range(cfg.layers):
             x = block_cls(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
                           name=f"blocks_{i}")(x, T, n_keep)
+            x = self._constrain(x)
 
         proj = self.param("proj", nn.initializers.normal(scale),
                           (cfg.width, cfg.output_dim))

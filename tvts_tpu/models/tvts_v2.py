@@ -32,11 +32,13 @@ class TVTSv2(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas: bool = False  # fused attention kernels (forward-only)
+    token_partition: tuple | None = None  # sequence-parallel token sharding
 
     def setup(self):
         self.video_model = SpaceTimeViT(self.cfg.vision, dtype=self.dtype,
                                         remat=self.remat,
-                                        use_pallas=self.use_pallas)
+                                        use_pallas=self.use_pallas,
+                                        token_partition=self.token_partition)
         self.text_model = TextTransformer(self.cfg.text, dtype=self.dtype,
                                           remat=self.remat)
         self.pred_model = SortTransformer(self.cfg.sort, dtype=self.dtype)

@@ -83,7 +83,8 @@ class Trainer:
                  epochs: int = 10, mesh=None, ckpt_manager=None,
                  init_val: bool = False, max_samples_per_epoch: int | None = None,
                  context_length: int = 77, log_step: int = 50, writer=None,
-                 tokenize_fn=None, apply_fn=None):
+                 tokenize_fn=None, apply_fn=None,
+                 save_every_steps: int | None = None):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -97,6 +98,9 @@ class Trainer:
         self.log_step = log_step
         self.writer = writer
         self.tokenize_fn = tokenize_fn
+        # mid-epoch step-interval checkpointing (elastic-recovery extension over
+        # the reference's epoch-only checkpoints, SURVEY §5)
+        self.save_every_steps = save_every_steps
 
         # copy params into the state: train_step donates its input state, and the
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
@@ -175,6 +179,14 @@ class Trainer:
                     raw = next(iters[dl_idx])
                 batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
                 self.state, aux = self.train_step(self.state, batch)
+                if (self.save_every_steps and
+                        int(self.state.step) % self.save_every_steps == 0
+                        and self.ckpt is not None):
+                    self.ckpt._ckptr.save(
+                        self.ckpt._path(f"step{int(self.state.step)}"),
+                        {"params": self.state.params,
+                         "opt_state": self.state.opt_state,
+                         "step": self.state.step}, force=True)
                 loss = float(aux["loss"])
                 totals[dl_idx] += loss
                 if self.writer is not None:
