@@ -19,6 +19,10 @@ def get_args():
     ap.add_argument("--mode", default="finetune",
                     choices=["finetune", "linear", "zero"])
     ap.add_argument("--model", default="vit_base_patch16_224")
+    ap.add_argument("--embed_dim", type=int, default=768)
+    ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--patch_size", type=int, default=16)
     ap.add_argument("--data_path", required=True,
                     help="dir containing train.csv/val.csv/test.csv")
     ap.add_argument("--data_root", default="")
@@ -72,7 +76,10 @@ def main():
         from tvts_tpu.downstream.zero_v2v import run_zero_v2v
         from tvts_tpu.models.joint_vit import JointViT
 
-        model = JointViT(num_frames=args.num_frames, dtype=dtype)
+        model = JointViT(img_size=args.input_size, patch_size=args.patch_size,
+                         embed_dim=args.embed_dim, depth=args.depth,
+                         heads=args.heads, num_frames=args.num_frames,
+                         dtype=dtype)
         video = jnp.zeros((1, args.num_frames, 3, args.input_size, args.input_size))
         params = model.init(jax.random.PRNGKey(0), video, None)["params"]
         if args.finetune:
@@ -95,7 +102,9 @@ def main():
         return
 
     model = FinetuneViT(num_classes=args.nb_classes, num_frames=args.num_frames,
-                        img_size=args.input_size, dtype=dtype, remat=True)
+                        img_size=args.input_size, patch_size=args.patch_size,
+                        embed_dim=args.embed_dim, depth=args.depth,
+                        heads=args.heads, dtype=dtype, remat=True)
     video = jnp.zeros((1, args.num_frames, 3, args.input_size, args.input_size))
     params = model.init(jax.random.PRNGKey(0), video)["params"]
     if args.finetune:

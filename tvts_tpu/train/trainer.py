@@ -110,7 +110,15 @@ class Trainer:
         self.eval_step = make_eval_step(model, apply_fn=apply_fn)
 
     def _len_epoch(self) -> int:
-        n = max(len(dl) for dl in self.data_loaders)
+        # the YT loader defines the epoch (reference trainer.py:76-79); fall back
+        # to the first loader when no dataset name starts with 'YT'
+        n = None
+        for dl in self.data_loaders:
+            name = getattr(getattr(dl, "dataset", None), "dataset_name", "")
+            if str(name).startswith("YT"):
+                n = len(dl)
+        if n is None:
+            n = len(self.data_loaders[0])
         if self.max_samples_per_epoch:
             per_step = self.data_loaders[0].batch_size * max(
                 1, self.data_loaders[0].num_processes)
