@@ -64,6 +64,20 @@ def test_threaded_matches_sync():
     assert sync == thr
 
 
+def test_val_split():
+    from tvts_tpu.data.loader import make_val_split
+
+    ds = ToyDataset(n=20)
+    train, val = make_val_split(ds, val_fraction=0.25, seed=1)
+    assert len(train) == 15 and len(val) == 5
+    all_idx = sorted(np.concatenate([train.indices, val.indices]).tolist())
+    assert all_idx == list(range(20))
+    assert train.n_clips == 4  # attribute passthrough
+    # deterministic given seed
+    t2, v2 = make_val_split(ds, val_fraction=0.25, seed=1)
+    np.testing.assert_array_equal(val.indices, v2.indices)
+
+
 def test_string_text_collate():
     samples = [{"video": np.zeros((1,), np.float32), "text": "a cat"},
                {"video": np.ones((1,), np.float32), "text": "a dog"}]

@@ -42,6 +42,32 @@ def default_collate(samples: list[dict]) -> dict:
     return batch
 
 
+class SubsetDataset:
+    """Index-subset view of a dataset (for random train/val splits)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i % len(self.indices)])]
+
+    def __getattr__(self, name):  # passthrough (dataset_name etc.)
+        return getattr(self.dataset, name)
+
+
+def make_val_split(dataset, val_fraction: float = 0.1, seed: int = 0):
+    """Random train/val split of one dataset (reference BaseDataLoader's
+    validation_split, base_data_loader.py:8-68). Returns (train_ds, val_ds)."""
+    n = len(dataset)
+    n_val = int(n * val_fraction) if val_fraction < 1 else int(val_fraction)
+    idx = np.random.default_rng(seed).permutation(n)
+    return SubsetDataset(dataset, idx[n_val:]), SubsetDataset(dataset, idx[:n_val])
+
+
 class ShardedLoader:
     def __init__(self,
                  dataset,
