@@ -105,11 +105,23 @@ def main():
         tcfg = config["trainer"]
         ckpt = CheckpointManager(config.save_dir, tcfg.get("save_period", 1),
                                  tcfg.get("monitor", "off"))
+        from tvts_tpu.utils.logging import ScalarWriter, setup_logging
+
+        setup_logging(str(config.log_dir), verbosity=tcfg.get("verbosity", 2))
+        writer = ScalarWriter(str(config.log_dir))
+        visualizer = None
+        if config.get("visualizer", {}).get("type"):
+            from tvts_tpu.utils.visualizer import RetrievalVis
+
+            visualizer = RetrievalVis(config["name"], str(config._web_log_dir))
         trainer = Trainer(model, params, tx, loaders, val_loaders,
                           epochs=tcfg.get("epochs", 10), mesh=mesh,
                           ckpt_manager=ckpt, init_val=tcfg.get("init_val", False),
                           max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),
-                          context_length=cfg.text.context_length)
+                          context_length=cfg.text.context_length,
+                          writer=writer, visualizer=visualizer)
+        if args.resume:
+            trainer.resume()
         trainer.train()
 
 

@@ -84,7 +84,7 @@ class Trainer:
                  init_val: bool = False, max_samples_per_epoch: int | None = None,
                  context_length: int = 77, log_step: int = 50, writer=None,
                  tokenize_fn=None, apply_fn=None,
-                 save_every_steps: int | None = None):
+                 save_every_steps: int | None = None, visualizer=None):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -101,6 +101,7 @@ class Trainer:
         # mid-epoch step-interval checkpointing (elastic-recovery extension over
         # the reference's epoch-only checkpoints, SURVEY §5)
         self.save_every_steps = save_every_steps
+        self.visualizer = visualizer  # RetrievalVis, gated like the reference
 
         # copy params into the state: train_step donates its input state, and the
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
@@ -212,11 +213,13 @@ class Trainer:
         log = {}
         for dl_idx, dl in enumerate(self.valid_loaders):
             txts, vids, sort_accs = [], [], []
+            metas = []
             for raw in dl:
                 batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
                 out = self.eval_step(self.state.params, batch)
                 txts.append(np.asarray(out["text_emb"], dtype=np.float32))
                 vids.append(np.asarray(out["video_emb"], dtype=np.float32))
+                metas.extend(raw.get("meta", []))
                 if "sort_acc" in out:
                     sort_accs.append(float(out["sort_acc"]))
             if not txts:
@@ -233,4 +236,12 @@ class Trainer:
                 acc = float(np.mean(sort_accs))
                 log[f"val_{dl_idx}_sort_acc"] = acc
                 print(f"Top-1 Accuracy for Frame Prediction: {acc:.4f}")
+            if self.visualizer is not None and metas:
+                meta = {"paths": [m.get("paths", "") for m in metas],
+                        "raw_captions": [m.get("raw_captions", "") for m in metas]}
+                self.visualizer.visualize_ranking(sims, epoch, meta)
+            if self.writer is not None:
+                for k, v in log.items():
+                    if np.isscalar(v):
+                        self.writer(k, float(v), int(self.state.step))
         return log
