@@ -83,3 +83,12 @@ def test_string_text_collate():
                {"video": np.ones((1,), np.float32), "text": "a dog"}]
     batch = default_collate(samples)
     assert batch["text"] == ["a cat", "a dog"]
+
+
+def test_process_pool_loader_matches_threaded():
+    ds = ToyDataset(n=12)
+    kw = dict(batch_size=3, shuffle=True, seed=2, process_index=0, num_processes=1)
+    thr = [b["video"].sum() for b in ShardedLoader(ds, num_workers=2, **kw)]
+    proc = [b["video"].sum() for b in ShardedLoader(ds, num_workers=2,
+                                                    use_processes=True, **kw)]
+    assert thr == proc

@@ -79,7 +79,8 @@ class ShardedLoader:
                  process_index: int | None = None,
                  num_processes: int | None = None,
                  collate=default_collate,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -88,6 +89,7 @@ class ShardedLoader:
         self.seed = seed
         self.collate = collate
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self.epoch = 0
         if process_index is None or num_processes is None:
             try:
@@ -142,6 +144,10 @@ class ShardedLoader:
                 yield load(b)
             return
 
+        if self.use_processes:
+            yield from self._iter_processes(batches)
+            return
+
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = collections.deque()
             it = iter(batches)
@@ -153,3 +159,40 @@ class ShardedLoader:
                 yield done.result()
             while pending:
                 yield pending.popleft().result()
+
+    # --- process pool path (GIL-free decode/transform for python-heavy items) --
+    def _iter_processes(self, batches):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes=self.num_workers, initializer=_proc_init,
+                      initargs=(self.dataset,)) as pool:
+            pending = collections.deque()
+            it = iter(batches)
+            for _ in range(min(self.prefetch + 1, len(batches))):
+                pending.append(pool.apply_async(_proc_load, (next(it),)))
+            for b in it:
+                done = pending.popleft()
+                pending.append(pool.apply_async(_proc_load, (b,)))
+                yield self.collate(done.get())
+            while pending:
+                yield self.collate(pending.popleft().get())
+
+
+_PROC_DATASET = None
+
+
+def _proc_init(dataset):
+    global _PROC_DATASET
+    _PROC_DATASET = dataset
+    # forked workers inherit identical RNG state — reseed per worker so
+    # per-item augmentation streams decorrelate
+    import os
+    import random
+
+    random.seed(int.from_bytes(os.urandom(8), "little"))
+    np.random.seed(int.from_bytes(os.urandom(4), "little"))
+
+
+def _proc_load(batch_idx):
+    return [_PROC_DATASET[int(i)] for i in batch_idx]
