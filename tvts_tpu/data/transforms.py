@@ -59,6 +59,31 @@ def video_transform(
     return out.transpose(0, 3, 1, 2)
 
 
+INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+INCEPTION_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+
+
+def pixelbert_transform(frames: np.ndarray, size: int = 224,
+                        mode: str = "test",
+                        rng: np.random.Generator | None = None) -> np.ndarray:
+    """Pixel-BERT-style clip transform (reference v2/video_transforms/pixelbert.py):
+    shorter-side resize then (train) random / (eval) center crop with INCEPTION
+    mean/std normalization. [T, H, W, 3] uint8 -> [T, 3, size, size] float32."""
+    resized = np.stack([
+        _resize_shorter_pil(f, int(size * 1.15), Image.BILINEAR) for f in frames])
+    t, h, w = resized.shape[:3]
+    if mode == "train":
+        if rng is None:
+            rng = np.random.default_rng()
+        y = int(rng.integers(0, h - size + 1))
+        x = int(rng.integers(0, w - size + 1))
+    else:
+        y, x = (h - size) // 2, (w - size) // 2
+    out = resized[:, y: y + size, x: x + size].astype(np.float32) / 255.0
+    out = (out - INCEPTION_MEAN) / INCEPTION_STD
+    return out.transpose(0, 3, 1, 2)
+
+
 def extract_transform(frames: np.ndarray, size: int = 224) -> np.ndarray:
     """Feature-extraction preprocessing (reference
     feature_extraction_TVTSv2_B_16.py:63-76): direct bilinear resize to (size, size),
