@@ -40,7 +40,9 @@ def main():
     ds = {"kinetics400": "k400"}.get(ds, ds)
     label2id = load_label2id(os.path.join(args.meta_root, ds, "prompt",
                                           "label2id.json"))
-    classnames = [name for name, _ in sorted(label2id.items(), key=lambda x: x[1])]
+    # classifier columns in the json's key order, exactly like the reference
+    # (zero_recognition_...py:62-64 uses list(label2id.keys()))
+    classnames = list(label2id.keys())
     run_recognition(model, params, loader, classnames,
                     context_length=cfg.text.context_length)
 

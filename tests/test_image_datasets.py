@@ -31,16 +31,22 @@ def test_image_transform_modes():
 def test_cc3m(tmp_path):
     meta_root = tmp_path / "meta"
     os.makedirs(meta_root)
-    make_image(str(tmp_path / "imgs" / "a.jpg"))
-    (meta_root / "cc3m_training_success_full.tsv").write_text(
-        "caption\tpath\na red square\timgs/a.jpg\n")
+    make_image(str(tmp_path / "training" / "a.jpg"))
+    (meta_root / "cc3m_train.tsv").write_text(
+        "caption\tpath\na red square\ta.jpg\n")
     ds = ConceptualCaptions3M("ConceptualCaptions3M", {}, VIDEO_PARAMS,
                               str(tmp_path), split="train",
                               meta_root=str(meta_root), patches_per_frame=16)
     item = ds[0]
     assert item["video"].shape == (1, 3, 64, 64)  # 1-frame video contract
-    assert item["text"] == "a red square"
+    assert item["text"] == ["a red square"]  # list-wrapped (YTT compat)
     assert item["keep_ind"].shape == (16,)
+
+    ds2 = ConceptualCaptions3M("ConceptualCaptions3M", {},
+                               {**VIDEO_PARAMS, "num_frames": 2}, str(tmp_path),
+                               split="train", meta_root=str(meta_root),
+                               patches_per_frame=16)
+    assert ds2[0]["video"].shape == (2, 3, 64, 64)  # tiled for tubelet-2
 
 
 def test_tar_dataset(tmp_path):

@@ -95,8 +95,12 @@ class TextImageDataset:
         n_keep = int(self.patches_per_frame * (1 - self.mask_ratio))
         keep = rng.permutation(self.patches_per_frame)[:n_keep].astype(np.int32)
         caption = self._get_caption(sample)
+        # image as a static video: tile to num_frames (>=2 needed for the v1
+        # tubelet-2 Conv3d patchify; the reference's CC3M joint-training path)
+        nf = int(self.video_params.get("num_frames", 1))
+        video = np.repeat(arr[None], max(nf, 1), axis=0).astype(np.float32)
         return {
-            "video": arr[None].astype(np.float32),  # [1, C, H, W]
+            "video": video,  # [num_frames, C, H, W]
             "text": caption,
             "keep_ind": keep,
             "meta": {"raw_captions": caption, "paths": rel,
@@ -162,19 +166,23 @@ class TextImageTarDataset(TextImageDataset):
 
 
 class ConceptualCaptions3M(TextImageDataset):
-    """CC3M (reference v1/data_loader/ConceptualCaptions_dataset.py): tsv rows
-    of (caption, relative image path) per split."""
+    """CC3M (reference v1/data_loader/ConceptualCaptions_dataset.py:49-80): tsv
+    rows of (caption, filename); images live under training/ or validation/;
+    caption list-wrapped for YTT joint-training compat."""
 
     def _load_metadata(self):
-        split_files = {
-            "train": "cc3m_training_success_full.tsv",
-            "val": "cc3m_validation_success_full.tsv",
-            "test": "cc3m_validation_success_full.tsv",
-        }
+        split_files = {"train": "cc3m_train.tsv", "val": "cc3m_val.tsv",
+                       "test": "cc3m_val.tsv"}
         md = pd.read_csv(os.path.join(self.meta_root, split_files[self.split]),
                          sep="\t")
+        if self.split == "val":
+            md = md.sample(min(1000, len(md)), random_state=0)
         self.metadata = md
 
     def _get_image_path(self, sample):
-        rel = sample.iloc[1]
+        rel_dir = "training" if self.split == "train" else "validation"
+        rel = os.path.join(rel_dir, str(sample.iloc[1]))
         return os.path.join(self.data_dir, rel), rel
+
+    def _get_caption(self, sample):
+        return [sample.iloc[0]]
