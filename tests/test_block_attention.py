@@ -1,0 +1,45 @@
+"""Fused LN+qkv+attention+proj megakernel vs the composed XLA sub-path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvts_tpu.models.layers import LayerNormF32, VarAttention
+from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block
+
+
+def test_fused_space_block_matches_xla():
+    rng = np.random.default_rng(0)
+    B, T, N, D, H = 2, 3, 16, 32, 4
+    S = 1 + T * N
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)) * 0.5
+
+    class Sub(VarAttention.__mro__[1].__mro__[0]):  # flax Module
+        pass
+
+    import flax.linen as nn
+
+    class SubPath(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = LayerNormF32(name="ln")(x)
+            return VarAttention(D, H, name="attn")(y, T, N, "space")
+
+    mod = SubPath()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    # perturb params away from init symmetry
+    params = jax.tree.map(
+        lambda a: a + 0.02 * np.random.default_rng(1).normal(size=a.shape).astype(np.float32),
+        params)
+    want = np.asarray(mod.apply({"params": params}, x))
+
+    got = np.asarray(fused_space_attention_block(
+        x,
+        jnp.asarray(params["ln"]["scale"]), jnp.asarray(params["ln"]["bias"]),
+        jnp.asarray(params["attn"]["qkv"]["kernel"]),
+        jnp.asarray(params["attn"]["qkv"]["bias"]),
+        jnp.asarray(params["attn"]["proj"]["kernel"]),
+        jnp.asarray(params["attn"]["proj"]["bias"]),
+        num_frames=T, patches_per_frame=N, num_heads=H, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

@@ -1,0 +1,28 @@
+"""Fused inference forward vs SpaceTimeViT.apply (same params, f32 + interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvts_tpu.models.configs import VisionConfig
+from tvts_tpu.models.space_time_vit import SpaceTimeViT
+from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
+
+
+def test_fused_forward_matches_module():
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2] for _ in range(2)]).astype(np.int32))
+
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_pooled, want_tokens = model.apply({"params": params}, video, keep)
+
+    pooled, tokens = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pooled),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
+                               atol=3e-5, rtol=1e-4)

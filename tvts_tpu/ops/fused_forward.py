@@ -1,0 +1,105 @@
+"""Hand-scheduled inference forward for SpaceTimeViT using the fused
+space-attention megakernel (ops/pallas_block_attention.py).
+
+Consumes the STANDARD SpaceTimeViT param tree (checkpoint-compatible), so it is
+a drop-in fast path for feature extraction / zero-shot eval: the time sub-path
+and MLP run as XLA (where XLA's fusion already wins), while the space sub-path —
+the largest single cost after time attention (PERF.md ablation) — runs as one
+Pallas call per block with LN+qkv+attention+proj fused in VMEM.
+
+Forward-only; openai pool style (B/32, B/16). Training and H/14 use model.apply.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tvts_tpu.models.configs import VisionConfig
+from tvts_tpu.ops.attention import divided_space_time_attention, merge_heads, split_heads
+from tvts_tpu.ops.masking import gather_tube_tokens
+from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block
+
+
+def _layernorm(x, p, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _var_attention_xla(x, p, T, N, mode, num_heads):
+    D = x.shape[-1]
+    d = D // num_heads
+    qkv = x @ p["qkv"]["kernel"].astype(x.dtype) + p["qkv"]["bias"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = split_heads(q * (d ** -0.5), num_heads)
+    k = split_heads(k, num_heads)
+    v = split_heads(v, num_heads)
+    out = merge_heads(divided_space_time_attention(q, k, v, T, N, mode))
+    return out @ p["proj"]["kernel"].astype(x.dtype) + p["proj"]["bias"].astype(x.dtype)
+
+
+def _mlp(x, p, act):
+    h = x @ p["c_fc"]["kernel"].astype(x.dtype) + p["c_fc"]["bias"].astype(x.dtype)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    return h @ p["c_proj"]["kernel"].astype(x.dtype) + p["c_proj"]["bias"].astype(x.dtype)
+
+
+def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
+                                 video: jnp.ndarray,
+                                 keep_ind: jnp.ndarray | None = None,
+                                 dtype=jnp.bfloat16,
+                                 interpret: bool = False):
+    """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...)
+    for pool_style='openai'. Returns (pooled, tokens)."""
+    assert cfg.pool_style == "openai"
+    if video.ndim == 4:
+        video = video[:, None]
+    B, T, C, H, W = video.shape
+
+    frames = video.reshape(B * T, C, H, W).transpose(0, 2, 3, 1).astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        frames, params["conv1"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n = x.shape[1] * x.shape[2]
+    x = x.reshape(B, T, n, cfg.width)
+
+    pos = params["positional_embedding"]
+    x = x + (pos[None, None, 1:] + params["temporal_embedding"][None, :T, None]
+             ).astype(dtype)
+    if keep_ind is not None:
+        x = gather_tube_tokens(x, keep_ind)
+    cls = (params["class_embedding"] + pos[0]).astype(dtype)
+    x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.width)),
+                         x.reshape(B, -1, cfg.width)], axis=1)
+    x = _layernorm(x, params["ln_pre"])
+
+    n_keep = (x.shape[1] - 1) // T
+    for i in range(cfg.layers):
+        bp = params[f"blocks_{i}"]
+        # time sub-path: XLA
+        t_out = _var_attention_xla(_layernorm(x, bp["ln_3"]), bp["timeattn"],
+                                   T, n_keep, "time", cfg.heads)
+        time_residual = x + t_out
+        # space sub-path: fused megakernel (ln_1 + qkv + attention + proj)
+        s_out = fused_space_attention_block(
+            time_residual,
+            bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+            bp["attn"]["qkv"]["kernel"].astype(dtype),
+            bp["attn"]["qkv"]["bias"].astype(dtype),
+            bp["attn"]["proj"]["kernel"].astype(dtype),
+            bp["attn"]["proj"]["bias"].astype(dtype),
+            num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
+            interpret=interpret)
+        space_residual = x + s_out
+        x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
+                                  bp["mlp"], cfg.act)
+
+    full = _layernorm(x, params["ln_post"]) @ params["proj"].astype(dtype)
+    return full[:, 0], full

@@ -1,0 +1,167 @@
+"""Fused attention sub-path megakernel: LayerNorm + qkv + divided attention +
+output projection in ONE Pallas call.
+
+Motivation (PERF.md): isolated-op Pallas kernels lose to XLA because the call
+boundary breaks producer/consumer fusion. This kernel moves the WHOLE attention
+sub-path of a SpaceTimeBlock inside one kernel, eliminating the HBM round-trips
+for the LN output, the [B,S,3D] qkv tensor, the per-head layout copies and the
+softmax probability tensors. Weight blocks use constant index maps, so Mosaic's
+pipeline fetches them once and keeps them VMEM-resident across grid steps.
+
+Scope: forward-only (training uses the XLA path). The CLS query's global
+attention needs k/v of every token, so the kernel also emits per-frame k/v;
+the (1-row) CLS attention and the residual add run in XLA outside.
+
+Space mode grid: (B, T) — one frame's [N, D] tokens per program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_space_block_kernel(H: int):
+    def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+               o_ref, k_out_ref, v_out_ref):
+        """One frame: x block [1, 1, N, D]; cls [1, 1, D]; weights resident.
+
+        Writes: o [1, 1, N, D] (attention output incl. projection, pre-residual);
+        k_out/v_out [1, 1, N, D] (for the XLA-side CLS global attention)."""
+        D = x_ref.shape[-1]
+        d = D // H
+
+        ln_s = ln_s_ref[0].astype(jnp.float32)   # [D]
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+
+        def layernorm(t):  # t [n, D] -> fp32 normalized
+            tf = t.astype(jnp.float32)
+            mu = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+            return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s[None] + ln_b[None]
+
+        dtype = o_ref.dtype
+        x_ln = layernorm(x_ref[0, 0]).astype(dtype)        # [N, D]
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
+
+        wqkv = wqkv_ref[:]
+        bqkv = bqkv_ref[:].astype(jnp.float32)             # [1, 3D]
+        qkv = jnp.dot(x_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+        qkv_c = jnp.dot(cls_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+        q = (qkv[:, :D] * scale).astype(dtype)             # [N, D]
+        k = qkv[:, D:2 * D].astype(dtype)
+        v = qkv[:, 2 * D:].astype(dtype)
+        ck = qkv_c[:, D:2 * D].astype(dtype)               # [1, D]
+        cv = qkv_c[:, 2 * D:].astype(dtype)
+
+        k_out_ref[0, 0] = k
+        v_out_ref[0, 0] = v
+
+        outs = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            cls_logit = jnp.dot(qh, ck[:, sl].T,
+                                preferred_element_type=jnp.float32)     # [N, 1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            oh = jnp.dot(p.astype(dtype), vh, preferred_element_type=jnp.float32)
+            oh = (oh + p_cls * cv[:, sl].astype(jnp.float32)) / denom
+            outs.append(oh.astype(dtype))
+        attn_out = jnp.concatenate(outs, axis=-1)           # [N, D]
+
+        proj = jnp.dot(attn_out, wproj_ref[:],
+                       preferred_element_type=jnp.float32) \
+            + bproj_ref[:].astype(jnp.float32)
+        o_ref[0, 0] = proj.astype(dtype)
+
+    return kernel
+
+
+def fused_space_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                                num_frames: int, patches_per_frame: int,
+                                num_heads: int, interpret: bool = False):
+    """Full VarAttention('space') sub-path: returns attention output [B, S, D]
+    (pre-residual). x: [B, S, D] bf16/f32 with S = 1 + T*N."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+
+    x_cls = x[:, :1]                                  # [B, 1, D]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    qkv_vec_spec = pl.BlockSpec((1, 3 * D), lambda b, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        _make_space_block_kernel(num_heads),
+        grid=(B, T),
+        in_specs=[frame_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
+                  qkv_vec_spec, wproj_spec, vec_spec],
+        out_specs=(frame_spec, frame_spec, frame_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, N, D), x.dtype)),
+        interpret=interpret,
+    )
+
+    out_p, k_p, v_p = call(
+        x_p, x_cls,
+        ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+        wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D))
+
+    # --- XLA side: CLS row (global attention over all tokens) + assembly ----
+    d = D // num_heads
+    scale = d ** -0.5
+
+    def layernorm(t):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+        return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+
+    cls_ln = layernorm(x_cls[:, 0]).astype(x.dtype)   # [B, D]
+    qkv_c = cls_ln @ wqkv + bqkv                       # [B, 3D]
+    cls_q = (qkv_c[:, :D] * scale).reshape(B, num_heads, 1, d)
+    cls_k = qkv_c[:, D:2 * D].reshape(B, num_heads, 1, d)
+    cls_v = qkv_c[:, 2 * D:].reshape(B, num_heads, 1, d)
+
+    def heads(t):  # [B, T, N, D] -> [B, H, T*N, d]
+        return t.reshape(B, T * N, num_heads, d).transpose(0, 2, 1, 3)
+
+    k_all = jnp.concatenate([cls_k, heads(k_p.reshape(B, T, N, D))], axis=2)
+    v_all = jnp.concatenate([cls_v, heads(v_p.reshape(B, T, N, D))], axis=2)
+    logits = jnp.einsum("bhid,bhjd->bhij", cls_q, k_all)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    cls_att = jnp.einsum("bhij,bhjd->bhid", p, v_all)   # [B, H, 1, d]
+    cls_att = cls_att.transpose(0, 2, 1, 3).reshape(B, 1, D)
+    cls_out = cls_att @ wproj + bproj                   # [B, 1, D]
+
+    out = jnp.concatenate([cls_out.astype(x.dtype),
+                           out_p.reshape(B, T * N, D)], axis=1)
+    return out
+
+
+def _interpret_call(call, *args):
+    with pltpu.force_tpu_interpret_mode():
+        return call(*args)
