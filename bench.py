@@ -34,8 +34,10 @@ def main():
     from tvts_tpu.models.space_time_vit import SpaceTimeViT
 
     cfg = tvtsv2_b_16().eval_config().vision  # mask_ratio 0 = extraction mode
-    use_pallas = os.environ.get("TVTS_TPU_BENCH_PALLAS", "0") == "1"
-    model = SpaceTimeViT(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    # default path: the hand-scheduled fused inference forward (space-attention
+    # megakernel, checkpoint-compatible params) — measured 1.13x vs model.apply
+    use_fused = os.environ.get("TVTS_TPU_BENCH_FUSED", "1") == "1"
+    model = SpaceTimeViT(cfg, dtype=jnp.bfloat16)
 
     B = int(os.environ.get("TVTS_TPU_BENCH_BATCH", "32"))
     rng = np.random.default_rng(0)
@@ -46,10 +48,18 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
 
-    @jax.jit
-    def extract(params, video, keep):
-        pooled, _ = model.apply({"params": params}, video, keep)
-        return pooled
+    if use_fused:
+        from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
+
+        @jax.jit
+        def extract(params, video, keep):
+            pooled, _ = space_time_vit_fused_forward(params, cfg, video, keep)
+            return pooled
+    else:
+        @jax.jit
+        def extract(params, video, keep):
+            pooled, _ = model.apply({"params": params}, video, keep)
+            return pooled
 
     # warmup / compile (fetch the result — on tunneled platforms block_until_ready
     # alone does not force execution)

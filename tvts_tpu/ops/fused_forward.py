@@ -18,7 +18,10 @@ import jax.numpy as jnp
 from tvts_tpu.models.configs import VisionConfig
 from tvts_tpu.ops.attention import divided_space_time_attention, merge_heads, split_heads
 from tvts_tpu.ops.masking import gather_tube_tokens
-from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block
+from tvts_tpu.ops.pallas_block_attention import (
+    fused_space_attention_block,
+    fused_time_attention_block,
+)
 
 
 def _layernorm(x, p, eps=1e-5):
@@ -54,6 +57,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  video: jnp.ndarray,
                                  keep_ind: jnp.ndarray | None = None,
                                  dtype=jnp.bfloat16,
+                                 fuse_time: bool = True,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...)
     for pool_style='openai'. Returns (pooled, tokens)."""
@@ -83,9 +87,19 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
     n_keep = (x.shape[1] - 1) // T
     for i in range(cfg.layers):
         bp = params[f"blocks_{i}"]
-        # time sub-path: XLA
-        t_out = _var_attention_xla(_layernorm(x, bp["ln_3"]), bp["timeattn"],
-                                   T, n_keep, "time", cfg.heads)
+        if fuse_time:
+            t_out = fused_time_attention_block(
+                x,
+                bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                bp["timeattn"]["proj"]["bias"].astype(dtype),
+                num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
+                interpret=interpret)
+        else:
+            t_out = _var_attention_xla(_layernorm(x, bp["ln_3"]), bp["timeattn"],
+                                       T, n_keep, "time", cfg.heads)
         time_residual = x + t_out
         # space sub-path: fused megakernel (ln_1 + qkv + attention + proj)
         s_out = fused_space_attention_block(

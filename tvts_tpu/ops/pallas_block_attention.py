@@ -162,6 +162,152 @@ def fused_space_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     return out
 
 
+def _make_time_block_kernel(H: int, T: int):
+    def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+               o_ref, k_out_ref, v_out_ref):
+        """One location chunk: x block [1, T, Nc, D]; cls [1, 1, D].
+
+        Per-location time attention (+ CLS column); the frame loop unrolls and
+        each step is one vectorized op over [T, Nc, d] — N stays a wide dim.
+        Also emits k/v (for the XLA-side CLS global attention)."""
+        Nc = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+
+        def layernorm(t):
+            tf = t.astype(jnp.float32)
+            mu = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+            return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s[None] + ln_b[None]
+
+        dtype = o_ref.dtype
+        x_ln = layernorm(x_ref[0].reshape(T * Nc, D)).astype(dtype)
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)  # [1, D]
+
+        wqkv = wqkv_ref[:]
+        bqkv = bqkv_ref[:].astype(jnp.float32)
+        qkv = jnp.dot(x_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+        qkv_c = jnp.dot(cls_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+        q = (qkv[:, :D] * scale).reshape(T, Nc, D).astype(jnp.float32)
+        k = qkv[:, D:2 * D].reshape(T, Nc, D).astype(jnp.float32)
+        v = qkv[:, 2 * D:].reshape(T, Nc, D).astype(jnp.float32)
+        ck = qkv_c[0, D:2 * D]                      # [D] fp32
+        cv = qkv_c[0, 2 * D:]
+        k_out_ref[0] = k.astype(dtype)
+        v_out_ref[0] = v.astype(dtype)
+
+        head_outs = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]  # [T, Nc, d]
+            ckh, cvh = ck[sl], cv[sl]                         # [d]
+            outs_t = []
+            for t in range(T):
+                # logits over the CLS column + T frames, per location
+                l = jnp.sum(qh[t][None] * kh, axis=-1)        # [T, Nc]
+                cls_l = jnp.sum(qh[t] * ckh[None], axis=-1)[None]  # [1, Nc]
+                full = jnp.concatenate([cls_l, l], axis=0)    # [T+1, Nc]
+                m = jnp.max(full, axis=0, keepdims=True)
+                p = jnp.exp(full - m)
+                denom = jnp.sum(p, axis=0, keepdims=True)
+                out_t = jnp.sum(p[1:][:, :, None] * vh, axis=0)  # [Nc, d]
+                out_t = out_t + p[0][:, None] * cvh[None]
+                outs_t.append(out_t / denom[0][:, None])
+            head_outs.append(jnp.stack(outs_t))               # [T, Nc, d]
+        attn = jnp.concatenate(head_outs, axis=-1)            # [T, Nc, D]
+        attn = attn.reshape(T * Nc, D).astype(dtype)
+
+        proj = jnp.dot(attn, wproj_ref[:],
+                       preferred_element_type=jnp.float32) \
+            + bproj_ref[:].astype(jnp.float32)
+        o_ref[0] = proj.reshape(T, Nc, D).astype(dtype)
+
+    return kernel
+
+
+def fused_time_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                               num_frames: int, patches_per_frame: int,
+                               num_heads: int, chunk: int = 64,
+                               interpret: bool = False):
+    """Full VarAttention('time') sub-path: returns attention output [B, S, D]
+    (pre-residual). The N axis is zero-padded to a multiple of `chunk` so block
+    offsets stay tile-aligned; padded locations are sliced away (time groups
+    never mix locations, so padding cannot contaminate real outputs)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    n_pad = (-N) % chunk
+    if n_pad:
+        x_p = jnp.pad(x_p, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    chunk_spec = pl.BlockSpec((1, T, chunk, D), lambda b, c: (b, 0, c, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    qkv_vec_spec = pl.BlockSpec((1, 3 * D), lambda b, c: (0, 0),
+                                memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    out_p, k_p, v_p = pl.pallas_call(
+        _make_time_block_kernel(num_heads, T),
+        grid=(B, Np // chunk),
+        in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
+                  qkv_vec_spec, wproj_spec, vec_spec],
+        out_specs=(chunk_spec, chunk_spec, chunk_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, Np, D), x.dtype)),
+        interpret=interpret,
+    )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D))
+    out_p = out_p[:, :, :N]
+
+    # --- XLA side: CLS row attends globally (kernel-emitted k/v) -----------
+    d = D // num_heads
+    scale = d ** -0.5
+
+    def layernorm(t):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+        return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+
+    cls_ln = layernorm(x_cls[:, 0]).astype(x.dtype)
+    qkv_c = cls_ln @ wqkv + bqkv                            # [B, 3D]
+    cls_q = (qkv_c[:, :D] * scale).reshape(B, num_heads, 1, d)
+    cls_k = qkv_c[:, D:2 * D].reshape(B, num_heads, 1, d)
+    cls_v = qkv_c[:, 2 * D:].reshape(B, num_heads, 1, d)
+
+    def heads(t):  # [B, T, N, D] -> [B, H, T*N, d]
+        return t.reshape(B, T * N, num_heads, d).transpose(0, 2, 1, 3)
+
+    k_all = jnp.concatenate([cls_k, heads(k_p[:, :, :N])], axis=2)
+    v_all = jnp.concatenate([cls_v, heads(v_p[:, :, :N])], axis=2)
+    logits = jnp.einsum("bhid,bhjd->bhij", cls_q, k_all)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    cls_att = jnp.einsum("bhij,bhjd->bhid", p, v_all)
+    cls_att = cls_att.transpose(0, 2, 1, 3).reshape(B, 1, D)
+    cls_out = cls_att @ wproj + bproj
+
+    out = jnp.concatenate([cls_out.astype(x.dtype),
+                           out_p.reshape(B, T * N, D)], axis=1)
+    return out
+
+
 def _interpret_call(call, *args):
     with pltpu.force_tpu_interpret_mode():
         return call(*args)
