@@ -194,19 +194,24 @@ def _make_time_block_kernel(H: int, T: int):
         qkv_c = jnp.dot(cls_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
 
         scale = jnp.asarray(d, jnp.float32) ** -0.5
-        q = (qkv[:, :D] * scale).reshape(T, Nc, D).astype(jnp.float32)
-        k = qkv[:, D:2 * D].reshape(T, Nc, D).astype(jnp.float32)
-        v = qkv[:, 2 * D:].reshape(T, Nc, D).astype(jnp.float32)
-        ck = qkv_c[0, D:2 * D]                      # [D] fp32
-        cv = qkv_c[0, 2 * D:]
-        k_out_ref[0] = k.astype(dtype)
-        v_out_ref[0] = v.astype(dtype)
+        # keep q/k/v bf16 in VMEM; cast to fp32 only inside the small per-head
+        # temporaries (the fp32 [T, Nc, D] triple blew the scoped-VMEM budget)
+        q = (qkv[:, :D] * scale).astype(dtype).reshape(T, Nc, D)
+        k = qkv[:, D:2 * D].astype(dtype).reshape(T, Nc, D)
+        v = qkv[:, 2 * D:].astype(dtype).reshape(T, Nc, D)
+        ck = qkv_c[0, D:2 * D].astype(dtype)        # [D]
+        cv = qkv_c[0, 2 * D:].astype(dtype)
+        k_out_ref[0] = k
+        v_out_ref[0] = v
 
         head_outs = []
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]  # [T, Nc, d]
-            ckh, cvh = ck[sl], cv[sl]                         # [d]
+            qh = q[..., sl].astype(jnp.float32)               # [T, Nc, d]
+            kh = k[..., sl].astype(jnp.float32)
+            vh = v[..., sl].astype(jnp.float32)
+            ckh = ck[sl].astype(jnp.float32)                  # [d]
+            cvh = cv[sl].astype(jnp.float32)
             outs_t = []
             for t in range(T):
                 # logits over the CLS column + T frames, per location
@@ -218,10 +223,10 @@ def _make_time_block_kernel(H: int, T: int):
                 denom = jnp.sum(p, axis=0, keepdims=True)
                 out_t = jnp.sum(p[1:][:, :, None] * vh, axis=0)  # [Nc, d]
                 out_t = out_t + p[0][:, None] * cvh[None]
-                outs_t.append(out_t / denom[0][:, None])
+                outs_t.append((out_t / denom[0][:, None]).astype(dtype))
             head_outs.append(jnp.stack(outs_t))               # [T, Nc, d]
         attn = jnp.concatenate(head_outs, axis=-1)            # [T, Nc, D]
-        attn = attn.reshape(T * Nc, D).astype(dtype)
+        attn = attn.reshape(T * Nc, D)
 
         proj = jnp.dot(attn, wproj_ref[:],
                        preferred_element_type=jnp.float32) \
@@ -233,7 +238,7 @@ def _make_time_block_kernel(H: int, T: int):
 
 def fused_time_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                                num_frames: int, patches_per_frame: int,
-                               num_heads: int, chunk: int = 64,
+                               num_heads: int, chunk: int = 16,
                                interpret: bool = False):
     """Full VarAttention('time') sub-path: returns attention output [B, S, D]
     (pre-residual). The N axis is zero-padded to a multiple of `chunk` so block
