@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--load_checkpoint", default=None)
     ap.add_argument("--out", default=None, help="save embedding to .npy")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -33,7 +34,8 @@ def main():
     cfg, model, params = build_model(
         args.arch, load_checkpoint=args.load_checkpoint, eval_mode=True,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    emb = extract_video_feature(model, params, args.video_path)
+    emb = extract_video_feature(model, params, args.video_path,
+                                use_fused=args.fused)
     print(f"video embedding shape: {emb.shape}")
     print(emb[0, :8])
     if args.out:

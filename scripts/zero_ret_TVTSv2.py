@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--sliding_window_stride", type=int, default=-1)
     ap.add_argument("--load_checkpoint", default=None)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused megakernel video forward (B towers)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -41,7 +43,7 @@ def main():
                   metric_names=tuple(config.get("metrics",
                                                 ["t2v_metrics", "v2t_metrics"])),
                   sliding_window=args.sliding_window_stride != -1,
-                  context_length=cfg.text.context_length)
+                  context_length=cfg.text.context_length, use_fused=args.fused)
 
 
 if __name__ == "__main__":

@@ -25,26 +25,41 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def make_embed_fns(model):
+def make_embed_fns(model, use_fused: bool = False):
+    """use_fused: route the video tower through the hand-scheduled fused
+    megakernel forward (ops/fused_forward.py; 'openai'-pool towers only —
+    checkpoint-compatible, ~1.18x on v5e)."""
+
     @jax.jit
     def embed_text(params, ids):
         return model.apply({"params": params}, ids,
                            method=lambda m, t: m.compute_text(t))
 
-    @jax.jit
-    def embed_video(params, video, keep):
-        pooled, _ = model.apply({"params": params}, video, keep,
-                                method=lambda m, v, k: m.compute_video(v, k))
-        return pooled
+    if use_fused and getattr(model.cfg.vision, "pool_style", "") == "openai":
+        from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
+
+        vcfg = model.cfg.vision
+
+        @jax.jit
+        def embed_video(params, video, keep):
+            pooled, _ = space_time_vit_fused_forward(
+                params["video_model"], vcfg, video, keep, dtype=model.dtype)
+            return pooled
+    else:
+        @jax.jit
+        def embed_video(params, video, keep):
+            pooled, _ = model.apply({"params": params}, video, keep,
+                                    method=lambda m, v, k: m.compute_video(v, k))
+            return pooled
 
     return embed_text, embed_video
 
 
 def extract_embeddings(model, params, loader, with_text: bool = True,
-                       context_length: int = 77):
+                       context_length: int = 77, use_fused: bool = False):
     """Iterate a test loader; returns dict with 'video' [N,D] (f32), optionally
     'text' [N,D], plus 'labels' and 'metas' when present."""
-    embed_text, embed_video = make_embed_fns(model)
+    embed_text, embed_video = make_embed_fns(model, use_fused=use_fused)
     batch_size = loader.batch_size
 
     vid_out, txt_out, labels, metas = [], [], [], []

@@ -26,11 +26,12 @@ def load_clip_for_extraction(video_path: str, num_frames: int = 12,
 
 
 def extract_video_feature(model, params, video_path: str,
-                          backend: str = "auto") -> np.ndarray:
+                          backend: str = "auto",
+                          use_fused: bool = False) -> np.ndarray:
     cfg = model.cfg.vision
     clip = load_clip_for_extraction(video_path, num_frames=cfg.num_frames,
                                     size=cfg.input_resolution, backend=backend)
     keep = np.arange(cfg.patches_per_frame, dtype=np.int32)[None]
-    _, embed_video = make_embed_fns(model)
+    _, embed_video = make_embed_fns(model, use_fused=use_fused)
     out = embed_video(params, jnp.asarray(clip), jnp.asarray(keep))
     return np.asarray(out, dtype=np.float32)

@@ -42,11 +42,12 @@ def load_label2id(path: str) -> dict:
 
 
 def run_recognition(model, params, loader, classnames,
-                    templates=PROMPT_TEMPLATES, context_length: int = 77):
+                    templates=PROMPT_TEMPLATES, context_length: int = 77,
+                    use_fused: bool = False):
     W = build_zero_shot_classifier(model, params, classnames, templates,
                                    context_length)
     out = extract_embeddings(model, params, loader, with_text=False,
-                             context_length=context_length)
+                             context_length=context_length, use_fused=use_fused)
     v = out["video"]
     v = v / np.linalg.norm(v, axis=-1, keepdims=True)
     logits = 100.0 * v @ W

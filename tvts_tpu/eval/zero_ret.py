@@ -32,8 +32,10 @@ def sliding_window_meanpool(vid_embeds, text_embeds, metas):
 
 
 def run_retrieval(model, params, loader, metric_names=("t2v_metrics", "v2t_metrics"),
-                  sliding_window: bool = False, context_length: int = 77):
-    out = extract_embeddings(model, params, loader, context_length=context_length)
+                  sliding_window: bool = False, context_length: int = 77,
+                  use_fused: bool = False):
+    out = extract_embeddings(model, params, loader, context_length=context_length,
+                             use_fused=use_fused)
     vid, txt = out["video"], out["text"]
     if sliding_window:
         vid, txt = sliding_window_meanpool(vid, txt, out["metas"])
