@@ -212,20 +212,21 @@ def _make_time_block_kernel(H: int, T: int):
             vh = v[..., sl].astype(jnp.float32)
             ckh = ck[sl].astype(jnp.float32)                  # [d]
             cvh = cv[sl].astype(jnp.float32)
-            # all frame pairs at once (one contraction instead of a T-loop)
-            l_all = jnp.einsum("tnd,snd->tsn", qh, kh,
-                               preferred_element_type=jnp.float32)  # [T, T, Nc]
-            cls_all = jnp.einsum("tnd,d->tn", qh, ckh,
-                                 preferred_element_type=jnp.float32)
-            full = jnp.concatenate([cls_all[:, None, :], l_all], axis=1)
-            m = jnp.max(full, axis=1, keepdims=True)
-            p = jnp.exp(full - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            p = p / denom                                      # [T, T+1, Nc]
-            out = jnp.einsum("tsn,snd->tnd", p[:, 1:], vh,
-                             preferred_element_type=jnp.float32)
-            out = out + p[:, 0, :, None] * cvh[None, None]
-            head_outs.append(out.astype(dtype))                # [T, Nc, d]
+            # NOTE: a whole-pair einsum ('tnd,snd->tsn') is cleaner but Mosaic
+            # cannot lower the n-batched contraction ("Only 2D gather is
+            # supported") — keep the unrolled frame loop of vectorized VPU ops.
+            outs_t = []
+            for t in range(T):
+                l = jnp.sum(qh[t][None] * kh, axis=-1)        # [T, Nc]
+                cls_l = jnp.sum(qh[t] * ckh[None], axis=-1)[None]  # [1, Nc]
+                full = jnp.concatenate([cls_l, l], axis=0)    # [T+1, Nc]
+                m = jnp.max(full, axis=0, keepdims=True)
+                p = jnp.exp(full - m)
+                denom = jnp.sum(p, axis=0, keepdims=True)
+                out_t = jnp.sum(p[1:][:, :, None] * vh, axis=0)  # [Nc, d]
+                out_t = out_t + p[0][:, None] * cvh[None]
+                outs_t.append((out_t / denom[0][:, None]).astype(dtype))
+            head_outs.append(jnp.stack(outs_t))               # [T, Nc, d]
         attn = jnp.concatenate(head_outs, axis=-1)             # [T, Nc, D]
         attn = attn.reshape(T * Nc, D)
 
