@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--out", default=None, help="save embedding to .npy")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--fast_pipeline", action="store_true",
+                    help="decode-side resize + on-device normalization")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -35,7 +37,8 @@ def main():
         args.arch, load_checkpoint=args.load_checkpoint, eval_mode=True,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     emb = extract_video_feature(model, params, args.video_path,
-                                use_fused=args.fused)
+                                use_fused=args.fused,
+                                fast_pipeline=args.fast_pipeline)
     print(f"video embedding shape: {emb.shape}")
     print(emb[0, :8])
     if args.out:

@@ -145,3 +145,19 @@ def test_feature_extraction(tiny_model, tmp_path):
     emb = extract_video_feature(model, params, path)
     assert emb.shape == (1, 48)
     assert np.isfinite(emb).all()
+
+
+def test_feature_extraction_fast_pipeline(tiny_model, tmp_path):
+    from tvts_tpu.eval.feature_extraction import extract_video_feature
+
+    cfg, model, params = tiny_model
+    path = str(tmp_path / "demo_fast.mp4")
+    write_video(path, n_frames=30, size=80)
+    slow = extract_video_feature(model, params, path)
+    fast = extract_video_feature(model, params, path, fast_pipeline=True)
+    assert fast.shape == (1, 48)
+    assert np.isfinite(fast).all()
+    # both pipelines should land close (bilinear vs PIL resize differ slightly)
+    cos = float(np.sum(slow * fast) /
+                (np.linalg.norm(slow) * np.linalg.norm(fast)))
+    assert cos > 0.98, cos
