@@ -119,7 +119,9 @@ def main():
                           ckpt_manager=ckpt, init_val=tcfg.get("init_val", False),
                           max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),
                           context_length=cfg.text.context_length,
-                          writer=writer, visualizer=visualizer)
+                          writer=writer, visualizer=visualizer,
+                          temperature=config.get("loss", {}).get("args", {})
+                          .get("temperature", 0.05))
         if args.resume:
             trainer.resume()
         trainer.train()

@@ -84,7 +84,8 @@ class Trainer:
                  init_val: bool = False, max_samples_per_epoch: int | None = None,
                  context_length: int = 77, log_step: int = 50, writer=None,
                  tokenize_fn=None, apply_fn=None,
-                 save_every_steps: int | None = None, visualizer=None):
+                 save_every_steps: int | None = None, visualizer=None,
+                 temperature: float = 0.05):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -107,8 +108,11 @@ class Trainer:
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
         params = jax.tree.map(jnp.copy, params)
         self.state = create_train_state(params, tx)
-        self.train_step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
-        self.eval_step = make_eval_step(model, apply_fn=apply_fn)
+        self.train_step = make_train_step(model, tx, donate=True,
+                                          apply_fn=apply_fn,
+                                          temperature=temperature)
+        self.eval_step = make_eval_step(model, apply_fn=apply_fn,
+                                        temperature=temperature)
 
     def _len_epoch(self) -> int:
         # the YT loader defines the epoch (reference trainer.py:76-79); fall back
