@@ -204,31 +204,33 @@ def _make_time_block_kernel(H: int, T: int):
         k_out_ref[0] = k
         v_out_ref[0] = v
 
+        # Layout choice (measured, PERF.md): d-MAJOR per-head tiles [T, d, Nc]
+        # keep locations in the lane dim and reduce the d contraction over
+        # SUBLANES — ~4.7x faster than the n-major/lane-reduce formulation.
+        # (A whole-pair einsum 'tnd,snd->tsn' would be cleaner but Mosaic cannot
+        # lower the n-batched contraction: "Only 2D gather is supported".)
         head_outs = []
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
-            qh = q[..., sl].astype(jnp.float32)               # [T, Nc, d]
-            kh = k[..., sl].astype(jnp.float32)
-            vh = v[..., sl].astype(jnp.float32)
+            qh = jnp.swapaxes(q[..., sl], -1, -2).astype(jnp.float32)  # [T, d, Nc]
+            kh = jnp.swapaxes(k[..., sl], -1, -2).astype(jnp.float32)
+            vh = jnp.swapaxes(v[..., sl], -1, -2).astype(jnp.float32)
             ckh = ck[sl].astype(jnp.float32)                  # [d]
             cvh = cv[sl].astype(jnp.float32)
-            # NOTE: a whole-pair einsum ('tnd,snd->tsn') is cleaner but Mosaic
-            # cannot lower the n-batched contraction ("Only 2D gather is
-            # supported") — keep the unrolled frame loop of vectorized VPU ops.
             outs_t = []
             for t in range(T):
-                l = jnp.sum(qh[t][None] * kh, axis=-1)        # [T, Nc]
-                cls_l = jnp.sum(qh[t] * ckh[None], axis=-1)[None]  # [1, Nc]
+                l = jnp.sum(qh[t][None] * kh, axis=1)         # [T, Nc]
+                cls_l = jnp.sum(qh[t] * ckh[:, None], axis=0)[None]  # [1, Nc]
                 full = jnp.concatenate([cls_l, l], axis=0)    # [T+1, Nc]
                 m = jnp.max(full, axis=0, keepdims=True)
                 p = jnp.exp(full - m)
                 denom = jnp.sum(p, axis=0, keepdims=True)
-                out_t = jnp.sum(p[1:][:, :, None] * vh, axis=0)  # [Nc, d]
-                out_t = out_t + p[0][:, None] * cvh[None]
-                outs_t.append((out_t / denom[0][:, None]).astype(dtype))
-            head_outs.append(jnp.stack(outs_t))               # [T, Nc, d]
-        attn = jnp.concatenate(head_outs, axis=-1)             # [T, Nc, D]
-        attn = attn.reshape(T * Nc, D)
+                out_t = jnp.sum(p[1:][:, None, :] * vh, axis=0)  # [d, Nc]
+                out_t = out_t + p[0][None, :] * cvh[:, None]
+                outs_t.append((out_t / denom).astype(dtype))
+            head_outs.append(jnp.stack(outs_t))               # [T, d, Nc]
+        attn = jnp.concatenate(head_outs, axis=1)             # [T, D, Nc]
+        attn = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
 
         proj = jnp.dot(attn, wproj_ref[:],
                        preferred_element_type=jnp.float32) \
