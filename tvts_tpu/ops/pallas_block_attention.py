@@ -242,7 +242,7 @@ def _make_time_block_kernel(H: int, T: int):
 
 def fused_time_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                                num_frames: int, patches_per_frame: int,
-                               num_heads: int, chunk: int = 16,
+                               num_heads: int, chunk: int = 32,
                                interpret: bool = False):
     """Full VarAttention('time') sub-path: returns attention output [B, S, D]
     (pre-residual). The N axis is zero-padded to a multiple of `chunk` so block
