@@ -26,14 +26,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_space_block_kernel(H: int):
+def _make_space_block_kernel(H: int, FPP: int = 1):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                o_ref, k_out_ref, v_out_ref):
-        """One frame: x block [1, 1, N, D]; cls [1, 1, D]; weights resident.
+        """FPP frames per program: x block [1, FPP, N, D]; cls [1, 1, D];
+        weights resident across grid steps.
 
-        Writes: o [1, 1, N, D] (attention output incl. projection, pre-residual);
-        k_out/v_out [1, 1, N, D] (for the XLA-side CLS global attention)."""
+        Writes: o (attention output incl. projection, pre-residual);
+        k_out/v_out (for the XLA-side CLS global attention)."""
         D = x_ref.shape[-1]
         d = D // H
 
@@ -47,51 +48,52 @@ def _make_space_block_kernel(H: int):
             return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s[None] + ln_b[None]
 
         dtype = o_ref.dtype
-        x_ln = layernorm(x_ref[0, 0]).astype(dtype)        # [N, D]
-        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
-
         wqkv = wqkv_ref[:]
         bqkv = bqkv_ref[:].astype(jnp.float32)             # [1, 3D]
-        qkv = jnp.dot(x_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
         qkv_c = jnp.dot(cls_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
-
-        scale = jnp.asarray(d, jnp.float32) ** -0.5
-        q = (qkv[:, :D] * scale).astype(dtype)             # [N, D]
-        k = qkv[:, D:2 * D].astype(dtype)
-        v = qkv[:, 2 * D:].astype(dtype)
         ck = qkv_c[:, D:2 * D].astype(dtype)               # [1, D]
         cv = qkv_c[:, 2 * D:].astype(dtype)
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
 
-        k_out_ref[0, 0] = k
-        v_out_ref[0, 0] = v
+        for f in range(FPP):
+            x_ln = layernorm(x_ref[0, f]).astype(dtype)    # [N, D]
+            qkv = jnp.dot(x_ln, wqkv, preferred_element_type=jnp.float32) + bqkv
+            q = (qkv[:, :D] * scale).astype(dtype)         # [N, D]
+            k = qkv[:, D:2 * D].astype(dtype)
+            v = qkv[:, 2 * D:].astype(dtype)
+            k_out_ref[0, f] = k
+            v_out_ref[0, f] = v
 
-        outs = []
-        for h in range(H):
-            sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-            logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-            cls_logit = jnp.dot(qh, ck[:, sl].T,
-                                preferred_element_type=jnp.float32)     # [N, 1]
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-            p = jnp.exp(logits - m)
-            p_cls = jnp.exp(cls_logit - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-            oh = jnp.dot(p.astype(dtype), vh, preferred_element_type=jnp.float32)
-            oh = (oh + p_cls * cv[:, sl].astype(jnp.float32)) / denom
-            outs.append(oh.astype(dtype))
-        attn_out = jnp.concatenate(outs, axis=-1)           # [N, D]
+            outs = []
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+                logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+                cls_logit = jnp.dot(qh, ck[:, sl].T,
+                                    preferred_element_type=jnp.float32)  # [N, 1]
+                m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+                p = jnp.exp(logits - m)
+                p_cls = jnp.exp(cls_logit - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+                oh = jnp.dot(p.astype(dtype), vh,
+                             preferred_element_type=jnp.float32)
+                oh = (oh + p_cls * cv[:, sl].astype(jnp.float32)) / denom
+                outs.append(oh.astype(dtype))
+            attn_out = jnp.concatenate(outs, axis=-1)       # [N, D]
 
-        proj = jnp.dot(attn_out, wproj_ref[:],
-                       preferred_element_type=jnp.float32) \
-            + bproj_ref[:].astype(jnp.float32)
-        o_ref[0, 0] = proj.astype(dtype)
+            proj = jnp.dot(attn_out, wproj_ref[:],
+                           preferred_element_type=jnp.float32) \
+                + bproj_ref[:].astype(jnp.float32)
+            o_ref[0, f] = proj.astype(dtype)
 
     return kernel
 
 
 def fused_space_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                                 num_frames: int, patches_per_frame: int,
-                                num_heads: int, interpret: bool = False):
+                                num_heads: int, frames_per_program: int = 1,
+                                interpret: bool = False):
     """Full VarAttention('space') sub-path: returns attention output [B, S, D]
     (pre-residual). x: [B, S, D] bf16/f32 with S = 1 + T*N."""
     B, S, D = x.shape
@@ -101,7 +103,8 @@ def fused_space_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     x_cls = x[:, :1]                                  # [B, 1, D]
     x_p = x[:, 1:].reshape(B, T, N, D)
 
-    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+    fpp = frames_per_program if T % frames_per_program == 0 else 1
+    frame_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
                               memory_space=pltpu.VMEM)
     cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -114,8 +117,8 @@ def fused_space_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                               memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        _make_space_block_kernel(num_heads),
-        grid=(B, T),
+        _make_space_block_kernel(num_heads, fpp),
+        grid=(B, T // fpp),
         in_specs=[frame_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   qkv_vec_spec, wproj_spec, vec_spec],
         out_specs=(frame_spec, frame_spec, frame_spec),
