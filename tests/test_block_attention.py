@@ -110,3 +110,32 @@ def test_fused_space_block_multi_frames_per_program():
         num_frames=T, patches_per_frame=N, num_heads=H, frames_per_program=2,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_fused_mlp_block_matches_xla():
+    import flax.linen as nn
+
+    from tvts_tpu.models.layers import Mlp
+    from tvts_tpu.ops.pallas_block_attention import fused_mlp_block
+
+    rng = np.random.default_rng(7)
+    B, S, D = 2, 37, 32  # odd S forces padding
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)) * 0.5
+
+    class SubPath(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x + Mlp(D * 4, D, act="quick_gelu", name="mlp")(
+                LayerNormF32(name="ln")(x))
+
+    mod = SubPath()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(mod.apply({"params": params}, x))
+    got = np.asarray(fused_mlp_block(
+        x, jnp.asarray(params["ln"]["scale"]), jnp.asarray(params["ln"]["bias"]),
+        jnp.asarray(params["mlp"]["c_fc"]["kernel"]),
+        jnp.asarray(params["mlp"]["c_fc"]["bias"]),
+        jnp.asarray(params["mlp"]["c_proj"]["kernel"]),
+        jnp.asarray(params["mlp"]["c_proj"]["bias"]),
+        act="quick_gelu", chunk=16, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

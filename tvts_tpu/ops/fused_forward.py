@@ -19,6 +19,7 @@ from tvts_tpu.models.configs import VisionConfig
 from tvts_tpu.ops.attention import divided_space_time_attention, merge_heads, split_heads
 from tvts_tpu.ops.masking import gather_tube_tokens
 from tvts_tpu.ops.pallas_block_attention import (
+    fused_mlp_block,
     fused_space_attention_block,
     fused_time_attention_block,
 )
@@ -58,6 +59,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  keep_ind: jnp.ndarray | None = None,
                                  dtype=jnp.bfloat16,
                                  fuse_time: bool = True,
+                                 fuse_mlp: bool = True,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...)
     for pool_style='openai'. Returns (pooled, tokens)."""
@@ -112,8 +114,18 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
             num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
             interpret=interpret)
         space_residual = x + s_out
-        x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
-                                  bp["mlp"], cfg.act)
+        if fuse_mlp:
+            x = fused_mlp_block(
+                space_residual,
+                bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                bp["mlp"]["c_proj"]["bias"].astype(dtype),
+                act=cfg.act, interpret=interpret)
+        else:
+            x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
+                                      bp["mlp"], cfg.act)
 
     full = _layernorm(x, params["ln_post"]) @ params["proj"].astype(dtype)
     return full[:, 0], full

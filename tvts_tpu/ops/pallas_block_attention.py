@@ -320,6 +320,68 @@ def fused_time_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     return out
 
 
+def _make_mlp_kernel(act: str):
+    def kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref, wproj_ref,
+               bproj_ref, o_ref):
+        """One token chunk: x [1, C, D]; computes x + c_proj(act(c_fc(ln(x))))
+        (the whole MLP sub-path incl. the residual)."""
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+        x = x_ref[0]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s[None]
+             + ln_b[None]).astype(x.dtype)
+        h = jnp.dot(y, wfc_ref[:], preferred_element_type=jnp.float32) \
+            + bfc_ref[:].astype(jnp.float32)
+        if act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
+        out = jnp.dot(h.astype(x.dtype), wproj_ref[:],
+                      preferred_element_type=jnp.float32) \
+            + bproj_ref[:].astype(jnp.float32)
+        o_ref[0] = (xf + out).astype(o_ref.dtype)
+
+    return kernel
+
+
+def fused_mlp_block(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
+                    act: str = "quick_gelu", chunk: int = 256,
+                    interpret: bool = False):
+    """Full MLP sub-path incl. residual: returns x + MLP(LN(x)). x: [B, S, D].
+    The token axis is zero-padded to the chunk size (LN/MLP are per-token, so
+    padding is inert and sliced away)."""
+    B, S, D = x.shape
+    hidden = wfc.shape[1]
+    s_pad = (-S) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0))) if s_pad else x
+    Sp = S + s_pad
+
+    tok_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, c, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    hvec_spec = pl.BlockSpec((1, hidden), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wfc_spec = pl.BlockSpec((D, hidden), lambda b, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((hidden, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _make_mlp_kernel(act),
+        grid=(B, Sp // chunk),
+        in_specs=[tok_spec, vec_spec, vec_spec, wfc_spec, hvec_spec,
+                  wproj_spec, vec_spec],
+        out_specs=tok_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Sp, D), x.dtype),
+        interpret=interpret,
+    )(xp, ln_scale.reshape(1, D), ln_bias.reshape(1, D), wfc,
+      bfc.reshape(1, hidden), wproj, bproj.reshape(1, D))
+    return out[:, :S]
+
+
 def _interpret_call(call, *args):
     with pltpu.force_tpu_interpret_mode():
         return call(*args)
