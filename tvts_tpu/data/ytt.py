@@ -27,7 +27,7 @@ import pandas as pd
 
 from tvts_tpu.data.asr import align_using_dtw, clean_subtitles
 from tvts_tpu.data.transforms import video_transform
-from tvts_tpu.data.video_reader import probe, read_multi_clip
+from tvts_tpu.data.video_reader import read_multi_clip
 
 try:
     import ftfy as _ftfy

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tvts_tpu.train.step import TrainState, create_train_state
+from tvts_tpu.train.step import TrainState
+
 
 
 def cosine_schedule(base_value: float, final_value: float, epochs: int,

@@ -17,11 +17,9 @@ Space mode grid: (B, T) — one frame's [N, D] tokens per program.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -14,7 +14,6 @@ import math
 import os
 from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -13,7 +13,6 @@ Behavioral contract: reference v2/parse_config_dist_multi.py (`ConfigParser`):
 from __future__ import annotations
 
 import json
-import os
 from datetime import datetime
 from functools import reduce
 from operator import getitem
