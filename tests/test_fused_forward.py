@@ -26,3 +26,22 @@ def test_fused_forward_matches_module():
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_fused_forward_openclip_pool():
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5,
+                       act="gelu", pool_style="openclip")
+    rng = np.random.default_rng(1)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2] for _ in range(2)]).astype(np.int32))
+
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_pooled, want_tokens = model.apply({"params": params}, video, keep)
+    pooled, tokens = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pooled),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
+                               atol=3e-5, rtol=1e-4)

@@ -35,7 +35,10 @@ def make_embed_fns(model, use_fused: bool = False):
         return model.apply({"params": params}, ids,
                            method=lambda m, t: m.compute_text(t))
 
-    if use_fused and getattr(model.cfg.vision, "pool_style", "") == "openai":
+    vcfg0 = getattr(model.cfg, "vision", None)
+    if (use_fused and vcfg0 is not None
+            and vcfg0.pool_style in ("openai", "openclip")
+            and vcfg0.ls_init is None):  # fused path has no LayerScale support
         from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
 
         vcfg = model.cfg.vision

@@ -7,7 +7,8 @@ and MLP run as XLA (where XLA's fusion already wins), while the space sub-path â
 the largest single cost after time attention (PERF.md ablation) â€” runs as one
 Pallas call per block with LN+qkv+attention+proj fused in VMEM.
 
-Forward-only; openai pool style (B/32, B/16). Training and H/14 use model.apply.
+Forward-only; both pooling styles (openai B/32, B/16 and openclip H/14).
+Training uses model.apply.
 """
 
 from __future__ import annotations
@@ -61,9 +62,8 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  fuse_time: bool = True,
                                  fuse_mlp: bool = True,
                                  interpret: bool = False):
-    """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...)
-    for pool_style='openai'. Returns (pooled, tokens)."""
-    assert cfg.pool_style == "openai"
+    """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
+    Returns (pooled, tokens) per the config's pool_style."""
     if video.ndim == 4:
         video = video[:, None]
     B, T, C, H, W = video.shape
@@ -127,5 +127,11 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
             x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
                                       bp["mlp"], cfg.act)
 
-    full = _layernorm(x, params["ln_post"]) @ params["proj"].astype(dtype)
-    return full[:, 0], full
+    proj = params["proj"].astype(dtype)
+    if cfg.pool_style == "openai":
+        full = _layernorm(x, params["ln_post"]) @ proj
+        return full[:, 0], full
+    # openclip (H/14): ln_post on the CLS only; tokens without ln_post/CLS
+    pooled = _layernorm(x[:, :1], params["ln_post"])[:, 0] @ proj
+    tokens = x[:, 1:] @ proj
+    return pooled, tokens
