@@ -79,3 +79,22 @@ def test_acc_and_topk():
     tgt = np.array([0, 2, 2])
     assert M.acc(out, tgt) == pytest.approx(2 / 3)
     assert M.topk_acc(out, tgt, k=2) == pytest.approx(1.0)
+
+
+@pytest.mark.skipif(ref is None, reason="reference repo not mounted")
+def test_video_precision_matches_reference():
+    import torch
+
+    rng = np.random.default_rng(7)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        B, P = 4, 6
+        output = rng.integers(0, 8, size=(B, P, 2))
+        target = rng.integers(0, 8, size=(B, P, 2))
+        want = ref.video_precision(torch.from_numpy(output), torch.from_numpy(target))
+        got = M.video_precision(output, target)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        want_adj = ref.video_precision_adj(torch.from_numpy(output),
+                                           torch.from_numpy(target))
+        got_adj = M.video_precision_adj(output, target)
+        np.testing.assert_allclose(got_adj, want_adj, rtol=1e-12)

@@ -41,7 +41,10 @@ def sort_loss(pred_order: jnp.ndarray, labels: jnp.ndarray, scale: float = 2.0) 
 
 
 def sort_accuracy(pred_order: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Top-1 accuracy of the sort head (reference logs this as
-    'Top-1 Accuracy for Frame Prediction', v2/trainer/trainer.py:633)."""
+    """Exact-match accuracy of the sort head: a sample counts only if ALL
+    clip positions are predicted correctly (`np.all(preds == labels, axis=1)`,
+    reference v2/trainer/trainer.py:585-588). The reference logs this ratio
+    both as 'Top-1 Accuracy for Frame Prediction' (:633) and — quirk — as
+    `val_loss_{i}` (:630-631)."""
     pred = jnp.argmax(pred_order, axis=-1)
-    return jnp.mean((pred == labels).astype(jnp.float32))
+    return jnp.mean(jnp.all(pred == labels, axis=-1).astype(jnp.float32))

@@ -127,3 +127,39 @@ def topk_acc(output: np.ndarray, target: np.ndarray, k: int = 5) -> float:
     target = np.asarray(target)
     topk = np.argsort(-output, axis=1, kind="stable")[:, :k]
     return float(np.sum(topk == target[:, None])) / len(target)
+
+
+def _pair_matches(output: np.ndarray, target: np.ndarray) -> int:
+    """Count predicted (video, text) pairs appearing in the target pair set.
+
+    output/target: [B, P, 2] int arrays of id pairs. A predicted pair counts
+    when some target row of the same batch element matches in BOTH columns.
+    """
+    output = np.asarray(output)
+    target = np.asarray(target)
+    assert output.shape[0] == target.shape[0]
+    assert output.shape[2] == target.shape[2] == 2
+    # [B, P_out, P_targ]: full-pair equality, any target row per predicted pair
+    hit = (output[:, :, None, :] == target[:, None, :, :]).all(-1).any(-1)
+    return int(hit.sum())
+
+
+def video_precision(output: np.ndarray, target: np.ndarray) -> float:
+    """Fraction of predicted pairs aligned to a matching text pair.
+
+    Reference metric.py:323-334.
+    """
+    target = np.asarray(target)
+    return _pair_matches(output, target) / (target.shape[0] * target.shape[1])
+
+
+def video_precision_adj(output: np.ndarray, target: np.ndarray) -> float:
+    """video_precision with the denominator restricted to videos that have
+    an aligning text: the number of unique video ids in target[:, :, 0].
+
+    Reference metric.py:337-372 (defined twice there, identically; the second
+    definition wins at import time — both compute this).
+    """
+    target = np.asarray(target)
+    denom = len(np.unique(target[:, :, 0]))
+    return _pair_matches(output, target) / denom

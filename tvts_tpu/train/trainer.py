@@ -29,7 +29,6 @@ import numpy as np
 
 from tvts_tpu.eval.embed import verbose
 from tvts_tpu.ops import metrics as metrics_mod
-from tvts_tpu.ops.losses import norm_softmax_loss
 from tvts_tpu.ops.sim import sim_matrix
 from tvts_tpu.parallel import shard_batch
 from tvts_tpu.text.tokenizer import tokenize_openclip
@@ -195,11 +194,11 @@ class Trainer:
                 if (self.save_every_steps and
                         int(self.state.step) % self.save_every_steps == 0
                         and self.ckpt is not None):
-                    self.ckpt._ckptr.save(
-                        self.ckpt._path(f"step{int(self.state.step)}"),
+                    self.ckpt.save_step(
+                        int(self.state.step),
                         {"params": self.state.params,
                          "opt_state": self.state.opt_state,
-                         "step": self.state.step}, force=True)
+                         "step": self.state.step})
                 loss = float(aux["loss"])
                 totals[dl_idx] += loss
                 if self.writer is not None:
@@ -216,7 +215,8 @@ class Trainer:
     def _valid_epoch(self, epoch: int) -> dict:
         log = {}
         for dl_idx, dl in enumerate(self.valid_loaders):
-            txts, vids, sort_accs = [], [], []
+            txts, vids = [], []
+            sort_correct, sort_num = 0.0, 0
             metas = []
             for raw in dl:
                 batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
@@ -225,19 +225,26 @@ class Trainer:
                 vids.append(np.asarray(out["video_emb"], dtype=np.float32))
                 metas.extend(raw.get("meta", []))
                 if "sort_acc" in out:
-                    sort_accs.append(float(out["sort_acc"]))
+                    bsz = len(np.asarray(batch["video"]))
+                    sort_correct += float(out["sort_acc"]) * bsz
+                    sort_num += bsz
             if not txts:
                 continue
             txt = np.concatenate(txts)
             vid = np.concatenate(vids)
             sims = np.asarray(sim_matrix(jnp.asarray(txt), jnp.asarray(vid)))
-            log[f"val_loss_{dl_idx}"] = float(norm_softmax_loss(jnp.asarray(sims)))
+            # reference quirk, reproduced: `val_loss_{i}` is NOT a loss — it is
+            # the per-batch-accumulated sort exact-match ratio, or 1.0 for
+            # loaders without sort supervision (trainer.py:585-597,630-631).
+            # The config's "min val_loss_0" monitor therefore tracks this ratio.
+            log[f"val_loss_{dl_idx}"] = (sort_correct / sort_num
+                                         if sort_num else 1.0)
             for name in ("t2v_metrics", "v2t_metrics"):
                 res = getattr(metrics_mod, name)(sims)
                 verbose(epoch=epoch, metrics=res, name=f"val_{dl_idx}", mode=name)
                 log[f"val_{dl_idx}_{name}_R1"] = res["R1"]
-            if sort_accs:
-                acc = float(np.mean(sort_accs))
+            if sort_num:
+                acc = sort_correct / sort_num
                 log[f"val_{dl_idx}_sort_acc"] = acc
                 print(f"Top-1 Accuracy for Frame Prediction: {acc:.4f}")
             if self.visualizer is not None and metas:

@@ -61,6 +61,11 @@ class CheckpointManager:
             self._ckptr.save(self._path("model_best"), state, force=True)
         self._ckptr.wait_until_finished()
 
+    def save_step(self, step: int, state: Any):
+        """Mid-epoch step-interval checkpoint (elastic-recovery extension over
+        the reference's epoch-only saves, SURVEY §5)."""
+        self._ckptr.save(self._path(f"step{int(step)}"), state, force=True)
+
     def restore(self, tag: str, target: Any) -> Any:
         return self._ckptr.restore(self._path(tag), target=target)
 
