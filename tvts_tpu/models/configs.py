@@ -27,6 +27,12 @@ class VisionConfig:
     # "openclip": pooled = ln_post(CLS) @ proj; tokens = raw patch tokens @ proj.
     pool_style: str = "openai"
     ls_init: float | None = None  # LayerScale init (OpenCLIP option, None = off)
+    # OpenCLIP tower surface options (reference video_encoder_ViT_H_14.py:144-207;
+    # constructed but bypassed in the shipped H/14 config)
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
 
     @property
     def patches_per_frame(self) -> int:

@@ -23,6 +23,7 @@ video_encoder_ViT_H_14.py:289-294).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tvts_tpu.models.configs import VisionConfig
@@ -41,6 +42,80 @@ class LayerScale(nn.Module):
             "gamma", lambda k, s: jnp.full(s, self.init_value, jnp.float32), (self.dim,)
         )
         return x * gamma.astype(self.dtype)
+
+
+class PatchDropout(nn.Module):
+    """Training-time random token dropout (https://arxiv.org/abs/2212.00794).
+
+    Reference video_encoder_ViT_H_14.py:144-181 — constructed there but
+    commented out of the video forward (:461-462); implemented here as a
+    config-gated feature for surface parity. Keeps the CLS token, then a
+    per-sample random `1 - prob` fraction of the rest (torch's randn+topk
+    index selection reproduced with jax.random)."""
+
+    prob: float
+    exclude_first_token: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        if deterministic or self.prob == 0.0:
+            return x
+        # exclude_first_token=False still splits off the first token in the
+        # reference (it is just re-dropped rather than kept); the shipped
+        # config always excludes CLS, which is what this implements.
+        cls_tokens, patches = x[:, :1], x[:, 1:]
+        B, L, D = patches.shape
+        num_keep = max(1, int(L * (1.0 - self.prob)))
+        rand = jax.random.normal(self.make_rng("patch_dropout"), (B, L))
+        keep = jax.lax.top_k(rand, num_keep)[1]            # [B, num_keep]
+        kept = jnp.take_along_axis(patches, keep[..., None], axis=1)
+        if self.exclude_first_token:
+            return jnp.concatenate([cls_tokens, kept], axis=1)
+        return kept
+
+
+class AttentionalPooler(nn.Module):
+    """Query-token cross-attention pooler (reference
+    video_encoder_ViT_H_14.py:184-207; OpenCLIP AttentionalPooler). Parameter
+    layout mirrors torch MultiheadAttention with kdim=context_dim: separate
+    q/k/v projection weights + one fused in_proj bias."""
+
+    d_model: int
+    context_dim: int
+    n_head: int = 8
+    n_queries: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        E = self.d_model
+        B = x.shape[0]
+        query = self.param("query", nn.initializers.normal(1.0),
+                           (self.n_queries, E))
+        q = LayerNormF32(name="ln_q")(query[None].astype(self.dtype))  # [1,Q,E]
+        kx = LayerNormF32(name="ln_k")(x)                              # [B,L,W]
+
+        qkv_bias = self.param("qkv_bias",
+                              nn.initializers.zeros, (3 * E,)).astype(self.dtype)
+        d = E // self.n_head
+        qh = (nn.Dense(E, use_bias=False, dtype=self.dtype, name="q_proj")(q)
+              + qkv_bias[:E]) * (d ** -0.5)
+        kh = nn.Dense(E, use_bias=False, dtype=self.dtype, name="k_proj")(kx) \
+            + qkv_bias[E:2 * E]
+        vh = nn.Dense(E, use_bias=False, dtype=self.dtype, name="v_proj")(kx) \
+            + qkv_bias[2 * E:]
+
+        def heads(t, n):  # [B?, L, E] -> [B, H, L, d]
+            return t.reshape(n, -1, self.n_head, d).transpose(0, 2, 1, 3)
+
+        qh = jnp.broadcast_to(heads(qh, 1), (B, self.n_head, self.n_queries, d))
+        kh, vh = heads(kh, B), heads(vh, B)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, self.n_queries, E)
+        out = nn.Dense(E, dtype=self.dtype, name="proj")(out)
+        return out
 
 
 class SpaceTimeBlock(nn.Module):
@@ -95,7 +170,8 @@ class SpaceTimeViT(nn.Module):
             x, PartitionSpec(*self.token_partition))
 
     @nn.compact
-    def __call__(self, video: jnp.ndarray, keep_ind: jnp.ndarray | None = None):
+    def __call__(self, video: jnp.ndarray, keep_ind: jnp.ndarray | None = None,
+                 train: bool = False):
         """video: [B, T, C, H, W] (or [B, C, H, W] for single images), values already
         normalized. keep_ind: [B, n_keep] int32 spatial keep set, or None for no
         masking. Returns (pooled [B, out], order_tokens [B, S', out])."""
@@ -133,6 +209,12 @@ class SpaceTimeViT(nn.Module):
         cls = jnp.broadcast_to(cls, (B, 1, cfg.width))
         x = jnp.concatenate([cls, x.reshape(B, -1, cfg.width)], axis=1)
 
+        if cfg.patch_dropout > 0:
+            # surface parity: the reference constructs PatchDropout but
+            # comments it out of the video forward (H_14.py:461-462); here it
+            # actually runs when configured (training only)
+            x = PatchDropout(cfg.patch_dropout, name="patch_dropout")(
+                x, deterministic=not train)
         x = LayerNormF32(name="ln_pre")(x)
         x = self._constrain(x)
 
@@ -144,6 +226,18 @@ class SpaceTimeViT(nn.Module):
             x = block_cls(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
                           name=f"blocks_{i}")(x, T, n_keep)
             x = self._constrain(x)
+
+        if cfg.attentional_pool:
+            # reference H_14.py:366-372,478-480: pool with learned queries,
+            # ln_post over the pooled tokens, proj is output_dim -> output_dim
+            x = AttentionalPooler(cfg.output_dim, cfg.width,
+                                  n_head=cfg.attn_pooler_heads,
+                                  n_queries=cfg.n_queries, dtype=self.dtype,
+                                  name="attn_pool")(x)
+            x = LayerNormF32(name="ln_post")(x)
+            proj = self.param("proj", nn.initializers.normal(scale),
+                              (cfg.output_dim, cfg.output_dim)).astype(self.dtype)
+            return x[:, 0] @ proj, x[:, 1:] @ proj
 
         proj = self.param("proj", nn.initializers.normal(scale),
                           (cfg.width, cfg.output_dim))

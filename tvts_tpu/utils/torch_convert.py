@@ -51,6 +51,7 @@ _DIRECT_PARAMS = {
     "class_embedding", "positional_embedding", "temporal_embedding", "proj",
     "text_projection", "type_embed", "gamma",
     "cls_token", "pos_embed", "temporal_embed",  # v1 JointViT
+    "query", "qkv_bias",  # AttentionalPooler
 }
 
 
@@ -73,6 +74,13 @@ def _convert_key(key: str, arr: np.ndarray):
     # sort head MLP uses fc1/fc2 names (sort_transformer.py:21-23)
     flat = re.sub(r"\.mlp\.fc1\.", ".mlp.c_fc.", flat)
     flat = re.sub(r"\.mlp\.fc2\.", ".mlp.c_proj.", flat)
+    # AttentionalPooler (separate q/k/v projections, H_14.py:184-207) —
+    # must precede the generic fused-MHA rules below
+    flat = re.sub(r"\.attn_pool\.attn\.([qkv])_proj_weight$",
+                  r".attn_pool.\1_proj.weight", flat)
+    flat = re.sub(r"\.attn_pool\.attn\.in_proj_bias$",
+                  r".attn_pool.qkv_bias", flat)
+    flat = re.sub(r"\.attn_pool\.attn\.out_proj\.", r".attn_pool.proj.", flat)
     # torch MultiheadAttention fused projections (text towers)
     flat = flat.replace(".attn.in_proj_weight", ".attn.qkv.weight")
     flat = flat.replace(".attn.in_proj_bias", ".attn.qkv.bias")
