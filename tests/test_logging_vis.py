@@ -55,3 +55,31 @@ def test_retrieval_vis_writes_html(tmp_path):
     # gated off when epoch not on the frequency
     vis2 = RetrievalVis("exp", str(tmp_path), vis_vid_freq=2)
     assert vis2.visualize_ranking(sims, epoch=1, meta=meta) is None
+
+
+def test_tb_event_file_roundtrip(tmp_path):
+    """EventWriter produces CRC-valid TFRecord Event protos that parse back."""
+    from tvts_tpu.utils.tb_events import EventWriter, read_events
+
+    w = EventWriter(str(tmp_path))
+    w.add_scalar("loss_train_0", 1.5, 10)
+    w.add_scalar("val_loss_0", 0.25, 10)
+    w.add_scalar("loss_train_0", 1.25, 20)
+    w.close()
+    got = read_events(w.path)
+    assert got == [(10, "loss_train_0", 1.5), (10, "val_loss_0", 0.25),
+                   (20, "loss_train_0", 1.25)]
+
+
+def test_scalar_writer_tensorboard_sink(tmp_path):
+    import glob
+
+    from tvts_tpu.utils.logging import ScalarWriter
+    from tvts_tpu.utils.tb_events import read_events
+
+    w = ScalarWriter(str(tmp_path), tensorboard=True)
+    w("loss", 3.0, 1)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    assert (1, "loss", 3.0) in read_events(files[0])

@@ -42,15 +42,23 @@ def setup_logging(log_dir: str | None = None, name: str = "tvts_tpu",
 
 
 class ScalarWriter:
-    """JSONL scalar sink with steps/sec like the reference TensorboardWriter."""
+    """JSONL scalar sink with steps/sec like the reference TensorboardWriter
+    (visualization.py:5). With `tensorboard=True` it additionally writes real
+    TensorBoard event files (utils/tb_events.py, no TF dependency)."""
 
-    def __init__(self, log_dir: str, flush_every: int = 50):
+    def __init__(self, log_dir: str, flush_every: int = 50,
+                 tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
         self._count = 0
         self._flush_every = flush_every
         self._last_step_time = time.time()
         self._last_step = 0
+        self._tb = None
+        if tensorboard:
+            from tvts_tpu.utils.tb_events import EventWriter
+
+            self._tb = EventWriter(log_dir)
 
     def __call__(self, tag: str, value: float, step: int):
         now = time.time()
@@ -63,12 +71,18 @@ class ScalarWriter:
     def _write(self, tag, value, step, ts):
         self._f.write(json.dumps({"tag": tag, "value": value, "step": int(step),
                                   "ts": ts}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
         self._count += 1
         if self._count % self._flush_every == 0:
             self._f.flush()
+            if self._tb is not None:
+                self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class SmoothedValue:
