@@ -86,3 +86,42 @@ def test_out_of_range_clamps(synth_video):
     frames = native_decoder.decode_frames(path, [n - 1, n + 10])
     assert frames.shape[0] == 2
     assert abs(frame_to_index(frames[0]) - (n - 1)) <= 1
+
+
+def test_native_decode_aug_crop_hflip(tmp_path):
+    """Fused crop+hflip fast path equals full decode -> numpy crop/flip
+    (reference fast_decode filtergraph semantics, base_dataset_yt.py:394-436).
+    Uses a spatial-gradient video so a wrong crop offset cannot pass."""
+    from tvts_tpu.data import native_decoder as nd
+
+    if not nd.available():
+        pytest.skip("native decoder unavailable")
+    path = str(tmp_path / "grad.mp4")
+    size_full = 64
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (size_full, size_full))
+    assert writer.isOpened()
+    yy, xx = np.mgrid[0:size_full, 0:size_full].astype(np.uint8)
+    for i in range(10):
+        frame = np.stack([np.full_like(xx, i * 20), 4 * xx, 4 * yy], axis=-1)
+        writer.write(frame)  # BGR
+    writer.release()
+    synth_video = path
+    info = nd.probe(synth_video)
+    size = 32
+    aw, ah = 0.25, 0.75
+    idxs = [1, 4, 7]
+    full = nd.decode_frames(synth_video, idxs)
+    cx = int((info.width - size) * aw) & ~1
+    cy = int((info.height - size) * ah) & ~1
+    want = full[:, cy:cy + size, cx:cx + size]
+
+    got = nd.decode_frames_aug(synth_video, idxs, crop_size=size,
+                               crop_frac=(aw, ah))
+    assert got.shape == (3, size, size, 3)
+    # swscale paths may round chroma slightly differently: compare loosely
+    assert np.mean(np.abs(got.astype(int) - want.astype(int))) < 2.0
+
+    flipped = nd.decode_frames_aug(synth_video, idxs, crop_size=size,
+                                   crop_frac=(aw, ah), hflip=True)
+    np.testing.assert_array_equal(flipped, got[:, :, ::-1])

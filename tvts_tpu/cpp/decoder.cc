@@ -98,16 +98,29 @@ int tvts_probe(const char* path, int64_t* n_frames, double* duration,
   return 0;
 }
 
-// Decode frames at the given indices into out (RGB24, [n, out_h, out_w, 3]).
-int tvts_decode(const char* path, const int64_t* idxs, int n_idxs, int out_w,
-                int out_h, uint8_t* out) {
+// Shared decode loop. crop_w <= 0 disables cropping; hflip mirrors
+// horizontally. Implements the reference ffmpeg-filtergraph fast path
+// (crop + hflip fused into decode, base_dataset_yt.py:394-436) without
+// spawning an ffmpeg process.
+static int decode_impl(const char* path, const int64_t* idxs, int n_idxs,
+                       int crop_x, int crop_y, int crop_w, int crop_h,
+                       int out_w, int out_h, int hflip, uint8_t* out) {
   if (n_idxs <= 0) return 0;
   VideoCtx v;
   int rc = v.open(path);
   if (rc != 0) return rc;
 
-  const int W = out_w > 0 ? out_w : v.dec->width;
-  const int H = out_h > 0 ? out_h : v.dec->height;
+  if (crop_w > 0) {
+    // clamp the window into the frame; even-align the origin for chroma
+    crop_w = std::min(crop_w, v.dec->width);
+    crop_h = std::min(crop_h, v.dec->height);
+    crop_x = std::min(std::max(crop_x, 0), v.dec->width - crop_w) & ~1;
+    crop_y = std::min(std::max(crop_y, 0), v.dec->height - crop_h) & ~1;
+  }
+  const int src_w = crop_w > 0 ? crop_w : v.dec->width;
+  const int src_h = crop_h > 0 ? crop_h : v.dec->height;
+  const int W = out_w > 0 ? out_w : src_w;
+  const int H = out_h > 0 ? out_h : src_h;
   const size_t frame_bytes = (size_t)W * H * 3;
 
   // sort requests, remember original slots (duplicates allowed)
@@ -136,18 +149,38 @@ int tvts_decode(const char* path, const int64_t* idxs, int n_idxs, int out_w,
   auto emit = [&](int64_t fidx) {
     // hand the current decoded `frame` to every pending request for fidx
     while (req < n_idxs && idxs[order[req]] <= fidx) {
+      AVFrame* src_frame = frame;
+      AVFrame cropped;
+      if (crop_w > 0) {
+        // crop via pointer adjustment before the swscale conversion
+        memcpy(&cropped, frame, sizeof(AVFrame));
+        cropped.crop_left = crop_x;
+        cropped.crop_top = crop_y;
+        cropped.crop_right = frame->width - crop_x - crop_w;
+        cropped.crop_bottom = frame->height - crop_y - crop_h;
+        if (av_frame_apply_cropping(&cropped, AV_FRAME_CROP_UNALIGNED) >= 0)
+          src_frame = &cropped;
+      }
       if (!sws) {
-        sws = sws_getContext(v.dec->width, v.dec->height,
-                             (AVPixelFormat)frame->format, W, H,
+        sws = sws_getContext(src_w, src_h, (AVPixelFormat)frame->format, W, H,
                              AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
                              nullptr);
       }
-      sws_scale(sws, frame->data, frame->linesize, 0, v.dec->height, rgb_data,
+      sws_scale(sws, src_frame->data, src_frame->linesize, 0, src_h, rgb_data,
                 rgb_lines);
       uint8_t* dst = out + (size_t)order[req] * frame_bytes;
-      for (int y = 0; y < H; ++y)
-        memcpy(dst + (size_t)y * W * 3, rgb_data[0] + (size_t)y * rgb_lines[0],
-               (size_t)W * 3);
+      if (hflip) {
+        for (int y = 0; y < H; ++y) {
+          const uint8_t* srow = rgb_data[0] + (size_t)y * rgb_lines[0];
+          uint8_t* drow = dst + (size_t)y * W * 3;
+          for (int x = 0; x < W; ++x)
+            memcpy(drow + (size_t)x * 3, srow + (size_t)(W - 1 - x) * 3, 3);
+        }
+      } else {
+        for (int y = 0; y < H; ++y)
+          memcpy(dst + (size_t)y * W * 3,
+                 rgb_data[0] + (size_t)y * rgb_lines[0], (size_t)W * 3);
+      }
       ++req;
     }
   };
@@ -215,6 +248,20 @@ int tvts_decode(const char* path, const int64_t* idxs, int n_idxs, int out_w,
   av_freep(&rgb_data[0]);
   if (sws) sws_freeContext(sws);
   return (req == n_idxs) ? 0 : -100 - req;
+}
+
+// Decode frames at the given indices into out (RGB24, [n, out_h, out_w, 3]).
+int tvts_decode(const char* path, const int64_t* idxs, int n_idxs, int out_w,
+                int out_h, uint8_t* out) {
+  return decode_impl(path, idxs, n_idxs, 0, 0, 0, 0, out_w, out_h, 0, out);
+}
+
+// Fast-path decode with fused crop window + optional horizontal flip.
+int tvts_decode_aug(const char* path, const int64_t* idxs, int n_idxs,
+                    int crop_x, int crop_y, int crop_w, int crop_h, int out_w,
+                    int out_h, int hflip, uint8_t* out) {
+  return decode_impl(path, idxs, n_idxs, crop_x, crop_y, crop_w, crop_h,
+                     out_w, out_h, hflip, out);
 }
 
 }  // extern "C"

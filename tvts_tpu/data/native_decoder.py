@@ -63,6 +63,12 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
         lib.tvts_decode.restype = ctypes.c_int
+        lib.tvts_decode_aug.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.tvts_decode_aug.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -107,4 +113,33 @@ def decode_frames(path: str, frame_idxs, resize: tuple[int, int] | None = None
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise IOError(f"tvts_decode failed ({rc}) for {path}")
+    return out
+
+
+def decode_frames_aug(path: str, frame_idxs, crop_size: int,
+                      crop_frac: tuple[float, float] = (0.5, 0.5),
+                      hflip: bool = False,
+                      resize: tuple[int, int] | None = None) -> np.ndarray:
+    """Fast-path decode with the crop/hflip fused in-decoder (the reference's
+    ffmpeg-filtergraph `fast_decode`, base_dataset_yt.py:394-436): crop a
+    crop_size x crop_size window at fractional position (aw, ah) of the slack,
+    optionally mirror horizontally. Returns uint8 [T, H, W, 3] RGB."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    info = probe(path)
+    aw, ah = crop_frac
+    cw = min(crop_size, info.width)
+    ch = min(crop_size, info.height)
+    cx = int((info.width - cw) * aw)
+    cy = int((info.height - ch) * ah)
+    out_w, out_h = resize if resize is not None else (cw, ch)
+    idxs = np.ascontiguousarray(np.asarray(frame_idxs, dtype=np.int64))
+    out = np.empty((len(idxs), out_h, out_w, 3), dtype=np.uint8)
+    rc = lib.tvts_decode_aug(
+        path.encode(), idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idxs), cx, cy, cw, ch, out_w, out_h, int(hflip),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise IOError(f"tvts_decode_aug failed ({rc}) for {path}")
     return out
