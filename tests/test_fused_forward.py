@@ -1,5 +1,7 @@
 """Fused inference forward vs SpaceTimeViT.apply (same params, f32 + interpret)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +11,8 @@ from tvts_tpu.models.space_time_vit import SpaceTimeViT
 from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
 
 
-def test_fused_forward_matches_module():
+@pytest.mark.parametrize("version", [1, 2])
+def test_fused_forward_matches_module(version):
     cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
                        heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
     rng = np.random.default_rng(0)
@@ -21,14 +24,15 @@ def test_fused_forward_matches_module():
     want_pooled, want_tokens = model.apply({"params": params}, video, keep)
 
     pooled, tokens = space_time_vit_fused_forward(
-        params, cfg, video, keep, dtype=jnp.float32, interpret=True)
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version, interpret=True)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pooled),
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
                                atol=3e-5, rtol=1e-4)
 
 
-def test_fused_forward_openclip_pool():
+@pytest.mark.parametrize("version", [1, 2])
+def test_fused_forward_openclip_pool(version):
     cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
                        heads=4, output_dim=48, num_frames=4, mask_ratio=0.5,
                        act="gelu", pool_style="openclip")
@@ -40,7 +44,7 @@ def test_fused_forward_openclip_pool():
     params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
     want_pooled, want_tokens = model.apply({"params": params}, video, keep)
     pooled, tokens = space_time_vit_fused_forward(
-        params, cfg, video, keep, dtype=jnp.float32, interpret=True)
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version, interpret=True)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pooled),
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),

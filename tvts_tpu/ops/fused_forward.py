@@ -22,7 +22,9 @@ from tvts_tpu.ops.masking import gather_tube_tokens
 from tvts_tpu.ops.pallas_block_attention import (
     fused_mlp_block,
     fused_space_attention_block,
+    fused_space_attention_block_v2,
     fused_time_attention_block,
+    fused_time_attention_block_v2,
 )
 
 
@@ -61,6 +63,8 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  dtype=jnp.bfloat16,
                                  fuse_time: bool = True,
                                  fuse_mlp: bool = True,
+                                 kernel_version: int = 2,
+                                 time_chunk: int = 64,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
     Returns (pooled, tokens) per the config's pool_style."""
@@ -87,6 +91,39 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
     x = _layernorm(x, params["ln_pre"])
 
     n_keep = (x.shape[1] - 1) // T
+    if kernel_version == 2:
+        # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
+        # no XLA-side k/v round-trips or [B,TN,H,d] tile-inflated reshapes
+        for i in range(cfg.layers):
+            bp = params[f"blocks_{i}"]
+            time_residual = fused_time_attention_block_v2(
+                x,
+                bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                bp["timeattn"]["proj"]["bias"].astype(dtype),
+                num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
+                chunk=time_chunk, interpret=interpret)
+            space_residual = fused_space_attention_block_v2(
+                time_residual, x,
+                bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                bp["attn"]["qkv"]["kernel"].astype(dtype),
+                bp["attn"]["qkv"]["bias"].astype(dtype),
+                bp["attn"]["proj"]["kernel"].astype(dtype),
+                bp["attn"]["proj"]["bias"].astype(dtype),
+                num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
+                interpret=interpret)
+            x = fused_mlp_block(
+                space_residual,
+                bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                bp["mlp"]["c_proj"]["bias"].astype(dtype),
+                act=cfg.act, interpret=interpret)
+        return _pool(params, cfg, x, dtype)
+
     for i in range(cfg.layers):
         bp = params[f"blocks_{i}"]
         if fuse_time:
@@ -127,6 +164,10 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
             x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
                                       bp["mlp"], cfg.act)
 
+    return _pool(params, cfg, x, dtype)
+
+
+def _pool(params, cfg, x, dtype):
     proj = params["proj"].astype(dtype)
     if cfg.pool_style == "openai":
         full = _layernorm(x, params["ln_post"]) @ proj

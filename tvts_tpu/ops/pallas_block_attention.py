@@ -383,3 +383,507 @@ def fused_mlp_block(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
 def _interpret_call(call, *args):
     with pltpu.force_tpu_interpret_mode():
         return call(*args)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernels: self-contained attention sub-paths.
+#
+# The v1 kernels emit k/v tensors ([B,S,D] each) solely so XLA can compute the
+# 1-row CLS global attention outside, and return pre-residual outputs that XLA
+# adds back. The HLO dump (tools/hlo_cost.py) shows that boundary is the top
+# remaining traffic: 12x 534 MB operand sets and 16+ [B,T*N,H,d] reshapes at
+# 2.67x physical tile inflation ((12,64) -> (16,128)). v2 moves the CLS row
+# INTO the kernel as an online-softmax accumulation over grid steps (scratch
+# persists across the minor grid dim) and folds the residual add, so a block's
+# attention sub-path is ONE kernel with one [B,S,D]-sized input and output.
+# ---------------------------------------------------------------------------
+
+
+def _ln_fn(ln_s, ln_b):
+    def layernorm(t):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+        return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s[None] + ln_b[None]
+    return layernorm
+
+
+def _make_time_block_kernel_v2(H: int, T: int, N: int):
+    def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
+               o_ref, ocls_ref,
+               m_scr, l_scr, acc_scr):
+        """Grid (B, C), c minor. x block [1, T, Nc, D]. Outputs: o = x + proj
+        (time_residual, patch rows); ocls = cls + proj (written at c == C-1).
+        m/l (SMEM [H]) + acc (VMEM [H, d]) hold the CLS online-softmax state."""
+        Nc = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        c = pl.program_id(1)
+        n_chunks = pl.num_programs(1)
+
+        layernorm = _ln_fn(ln_s_ref[0].astype(jnp.float32),
+                           ln_b_ref[0].astype(jnp.float32))
+        dtype = o_ref.dtype
+        x_flat = x_ref[0].reshape(T * Nc, D)
+        x_ln = layernorm(x_flat).astype(dtype)
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)      # [1, D]
+
+        bq = bq_ref[:].astype(jnp.float32)                # [1, D] each: three
+        bk = bk_ref[:].astype(jnp.float32)                # separate refs so the
+        bv = bv_ref[:].astype(jnp.float32)                # broadcasts have
+        scale = jnp.asarray(d, jnp.float32) ** -0.5       # zero-offset layouts
+        # three dots (not one [.,3D] fp32 intermediate): VMEM headroom for
+        # larger chunks
+        q = (jnp.dot(x_ln, wqkv_ref[:, :D], preferred_element_type=jnp.float32)
+             + bq) * scale
+        k = jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                    preferred_element_type=jnp.float32) + bk
+        v = jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                    preferred_element_type=jnp.float32) + bv
+        q = q.astype(dtype).reshape(T, Nc, D)
+        k = k.astype(dtype).reshape(T, Nc, D)
+        v = v.astype(dtype).reshape(T, Nc, D)
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq)   # [1, D]
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv
+        q_cls = qc * scale                                 # [1, D] fp32
+        ck = kc[0].astype(dtype)
+        cv = vc[0].astype(dtype)
+
+        # CLS self term initializes the online softmax (weight exp(m-m)=1)
+        @pl.when(c == 0)
+        def _init():
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                m0 = jnp.sum(q_cls[0, sl] * kc[0, sl])
+                m_scr[h] = m0
+                l_scr[h] = 1.0
+                acc_scr[h, :] = vc[0, sl]
+
+        # valid-location mask for CLS accumulation (padded Nc tail)
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
+        valid = loc < N                                    # [T, Nc]
+
+        head_outs = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh = jnp.swapaxes(q[..., sl], -1, -2).astype(jnp.float32)  # [T,d,Nc]
+            kh = jnp.swapaxes(k[..., sl], -1, -2).astype(jnp.float32)
+            vh = jnp.swapaxes(v[..., sl], -1, -2).astype(jnp.float32)
+            ckh = ck[sl].astype(jnp.float32)
+            cvh = cv[sl].astype(jnp.float32)
+
+            # --- patch rows: per-location time attention (+ CLS column) ---
+            outs_t = []
+            for t in range(T):
+                l = jnp.sum(qh[t][None] * kh, axis=1)              # [T, Nc]
+                cls_l = jnp.sum(qh[t] * ckh[:, None], axis=0)[None]  # [1, Nc]
+                full = jnp.concatenate([cls_l, l], axis=0)
+                m = jnp.max(full, axis=0, keepdims=True)
+                p = jnp.exp(full - m)
+                denom = jnp.sum(p, axis=0, keepdims=True)
+                out_t = jnp.sum(p[1:][:, None, :] * vh, axis=0)
+                out_t = out_t + p[0][None, :] * cvh[:, None]
+                outs_t.append((out_t / denom).astype(dtype))
+
+            # --- CLS row: online accumulation over this chunk's keys ------
+            qch = q_cls[0, sl]                                     # [d] fp32
+            lc = jnp.sum(kh * qch[None, :, None], axis=1)          # [T, Nc]
+            lc = jnp.where(valid, lc, -1e30)
+            c_max = jnp.max(lc)
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old, c_max)
+            corr = jnp.exp(m_old - m_new)
+            p_c = jnp.exp(lc - m_new)                              # [T, Nc]
+            m_scr[h] = m_new
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
+            pv = jnp.sum(vh * p_c[:, None, :], axis=(0, 2))        # [d]
+            acc_scr[h, :] = acc_scr[h, :] * corr + pv
+
+            head_outs.append(jnp.stack(outs_t))                    # [T, d, Nc]
+
+        attn = jnp.concatenate(head_outs, axis=1)                  # [T, D, Nc]
+        attn = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
+        proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32) \
+            + bproj_ref[:].astype(jnp.float32)
+        o_ref[0] = (x_flat.astype(jnp.float32) + proj) \
+            .reshape(T, Nc, D).astype(dtype)
+
+        @pl.when(c == n_chunks - 1)
+        def _finalize():
+            rows = [acc_scr[h:h + 1, :] / l_scr[h] for h in range(H)]
+            cls_att = jnp.concatenate(rows, axis=1)                # [1, D] fp32
+            projc = jnp.dot(cls_att.astype(dtype), wproj_ref[:],
+                            preferred_element_type=jnp.float32) \
+                + bproj_ref[:].astype(jnp.float32)
+            ocls_ref[0] = (cls_ref[0].astype(jnp.float32) + projc).astype(dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                  bproj, num_frames: int,
+                                  patches_per_frame: int, num_heads: int,
+                                  chunk: int = 64, interpret: bool = False):
+    """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
+    [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+    d = D // num_heads
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    n_pad = (-N) % chunk
+    if n_pad:
+        x_p = jnp.pad(x_p, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    chunk_spec = pl.BlockSpec((1, T, chunk, D), lambda b, c: (b, 0, c, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ocls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    qkv_vec_spec = pl.BlockSpec((1, 3 * D), lambda b, c: (0, 0),
+                                memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    out_p, out_cls = pl.pallas_call(
+        _make_time_block_kernel_v2(num_heads, T, N),
+        grid=(B, Np // chunk),
+        in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
+                  vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
+        out_specs=(chunk_spec, ocls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.VMEM((num_heads, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
+
+    return jnp.concatenate([out_cls,
+                            out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+
+
+def _make_space_block_kernel_v2(H: int, T: int):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
+               o_ref, ocls_ref,
+               m_scr, l_scr, acc_scr):
+        """Grid (B, T), t minor. x block [1, 1, N, D] = attention input frame;
+        base block = residual base. o = base + proj; ocls = base_cls + proj
+        at t == T-1 (CLS online softmax across frames in scratch)."""
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+
+        layernorm = _ln_fn(ln_s_ref[0].astype(jnp.float32),
+                           ln_b_ref[0].astype(jnp.float32))
+        dtype = o_ref.dtype
+        x_ln = layernorm(x_ref[0, 0]).astype(dtype)        # [N, D]
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
+
+        bq = bq_ref[:].astype(jnp.float32)
+        bk = bk_ref[:].astype(jnp.float32)
+        bv = bv_ref[:].astype(jnp.float32)
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+        q = (jnp.dot(x_ln, wqkv_ref[:, :D], preferred_element_type=jnp.float32)
+             + bq) * scale
+        k = jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                    preferred_element_type=jnp.float32) + bk
+        v = jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                    preferred_element_type=jnp.float32) + bv
+        q = q.astype(dtype)
+        k = k.astype(dtype)
+        v = v.astype(dtype)
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq)
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv
+        q_cls = qc * scale
+        ck = kc.astype(dtype)                              # [1, D]
+        cv = vc.astype(dtype)
+
+        @pl.when(t == 0)
+        def _init():
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                m0 = jnp.sum(q_cls[0, sl] * kc[0, sl])
+                m_scr[h] = m0
+                l_scr[h] = 1.0
+                acc_scr[h, :] = vc[0, sl]
+
+        outs = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            cls_logit = jnp.dot(qh, ck[:, sl].T,
+                                preferred_element_type=jnp.float32)   # [N, 1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            oh = jnp.dot(p.astype(dtype), vh, preferred_element_type=jnp.float32)
+            oh = (oh + p_cls * cv[:, sl].astype(jnp.float32)) / denom
+            outs.append(oh.astype(dtype))
+
+            # CLS row contribution from this frame's keys
+            lc = jnp.dot(k[:, sl].astype(jnp.float32),
+                         q_cls[:, sl].T, preferred_element_type=jnp.float32)  # [N,1]
+            c_max = jnp.max(lc)
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old, c_max)
+            corr = jnp.exp(m_old - m_new)
+            p_c = jnp.exp(lc - m_new)                                  # [N, 1]
+            m_scr[h] = m_new
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
+            pv = jnp.sum(v[:, sl].astype(jnp.float32) * p_c, axis=0)   # [d]
+            acc_scr[h, :] = acc_scr[h, :] * corr + pv
+
+        attn_out = jnp.concatenate(outs, axis=-1)                      # [N, D]
+        proj = jnp.dot(attn_out, wproj_ref[:],
+                       preferred_element_type=jnp.float32) \
+            + bproj_ref[:].astype(jnp.float32)
+        o_ref[0, 0] = (base_ref[0, 0].astype(jnp.float32) + proj).astype(dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            rows = [acc_scr[h:h + 1, :] / l_scr[h] for h in range(H)]
+            cls_att = jnp.concatenate(rows, axis=1)
+            projc = jnp.dot(cls_att.astype(dtype), wproj_ref[:],
+                            preferred_element_type=jnp.float32) \
+                + bproj_ref[:].astype(jnp.float32)
+            ocls_ref[0] = (basecls_ref[0].astype(jnp.float32)
+                           + projc).astype(dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
+                                   wproj, bproj, num_frames: int,
+                                   patches_per_frame: int, num_heads: int,
+                                   interpret: bool = False):
+    """Whole space sub-path INCLUDING residual from `base`: returns
+    base + spaceattn(ln(x)) as [B, S, D] (reference residual-from-block-input
+    wiring, video_encoder_ViT_B_16.py:118-121). Self-contained like the time
+    v2 kernel."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+    d = D // num_heads
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    base_cls = base[:, :1]
+    base_p = base[:, 1:].reshape(B, T, N, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    qkv_vec_spec = pl.BlockSpec((1, 3 * D), lambda b, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    out_p, out_cls = pl.pallas_call(
+        _make_space_block_kernel_v2(num_heads, T),
+        grid=(B, T),
+        in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, vec_spec],
+        out_specs=(frame_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.VMEM((num_heads, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
+      ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
+      bproj.reshape(1, D))
+
+    return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (training). Same fusion philosophy as the forwards: one
+# Pallas call per sub-path per block, recomputing the forward intermediates
+# in VMEM (flash-style) and accumulating weight gradients in fp32 directly in
+# constant-index output refs across the whole grid.
+# ---------------------------------------------------------------------------
+
+
+def _act_and_grad(act: str, h):
+    """activation value and derivative at fp32 h."""
+    if act == "quick_gelu":
+        s = jax.nn.sigmoid(1.702 * h)
+        return h * s, s + 1.702 * h * s * (1.0 - s)
+    # exact gelu
+    phi = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    cdf = 0.5 * (1.0 + jax.lax.erf(h / jnp.sqrt(2.0)))
+    return h * cdf, cdf + h * phi
+
+
+def _make_mlp_bwd_kernel(act: str):
+    def kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref, wproj_ref,
+               dx_ref, dwfc_ref, dbfc_ref, dwproj_ref, dbproj_ref,
+               dls_ref, dlb_ref):
+        """One token chunk of the MLP sub-path backward.
+
+        fwd: y = x + Wproj·act(Wfc·LN(x) + bfc) + bproj.
+        dx is written per chunk; weight/LN grads accumulate fp32 in the
+        constant-index output refs (zeroed at the first grid step)."""
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _zero():
+            dwfc_ref[...] = jnp.zeros_like(dwfc_ref)
+            dbfc_ref[...] = jnp.zeros_like(dbfc_ref)
+            dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+            dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+        D = x_ref.shape[-1]
+        eps = 1e-5
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        x = x_ref[0]
+        g = g_ref[0].astype(jnp.float32)                    # [C, D]
+        dtype = x.dtype
+
+        # --- recompute forward intermediates -------------------------------
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (xf - mu) * rstd                             # [C, D]
+        y_ln = (xhat * ln_s[None] + ln_b_ref[0].astype(jnp.float32))
+        y_ln_b = y_ln.astype(dtype)
+        h_pre = jnp.dot(y_ln_b, wfc_ref[:],
+                        preferred_element_type=jnp.float32) \
+            + bfc_ref[:].astype(jnp.float32)                # [C, Hd]
+        h_act, h_grad = _act_and_grad(act, h_pre)
+        h_act_b = h_act.astype(dtype)
+
+        # --- backward -------------------------------------------------------
+        g_b = g.astype(dtype)
+        dh = jnp.dot(g_b, wproj_ref[:].T,
+                     preferred_element_type=jnp.float32) * h_grad   # [C, Hd]
+        dh_b = dh.astype(dtype)
+        dwproj_ref[...] += jnp.dot(h_act_b.T, g_b,
+                                   preferred_element_type=jnp.float32)
+        dbproj_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+        dwfc_ref[...] += jnp.dot(y_ln_b.T, dh_b,
+                                 preferred_element_type=jnp.float32)
+        dbfc_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+        dxln = jnp.dot(dh_b, wfc_ref[:].T,
+                       preferred_element_type=jnp.float32)          # [C, D]
+        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        dxhat = dxln * ln_s[None]
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx_ln_in = (dxhat - m1 - xhat * m2) * rstd
+        dx_ref[0] = (g + dx_ln_in).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def fused_mlp_block_bwd(g, x, ln_scale, ln_bias, wfc, bfc, wproj,
+                        act: str = "quick_gelu", chunk: int = 256,
+                        interpret: bool = False):
+    """Backward of fused_mlp_block. Returns (dx, dln_scale, dln_bias, dwfc,
+    dbfc, dwproj, dbproj) with weight grads in fp32."""
+    B, S, D = x.shape
+    hidden = wfc.shape[1]
+    s_pad = (-S) % chunk
+    if s_pad:
+        x = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, s_pad), (0, 0)))
+    Sp = S + s_pad
+
+    tok_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, c, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    hvec_spec = pl.BlockSpec((1, hidden), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wfc_spec = pl.BlockSpec((D, hidden), lambda b, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((hidden, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_mlp_bwd_kernel(act),
+        grid=(B, Sp // chunk),
+        in_specs=[tok_spec, tok_spec, vec_spec, vec_spec, wfc_spec, hvec_spec,
+                  wproj_spec],
+        out_specs=(tok_spec, wfc_spec, hvec_spec, wproj_spec, vec_spec,
+                   vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Sp, D), x.dtype),
+                   jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((hidden, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, ln_scale.reshape(1, D), ln_bias.reshape(1, D), wfc,
+      bfc.reshape(1, hidden), wproj)
+    dx, dwfc, dbfc, dwproj, dbproj, dls, dlb = outs
+    return (dx[:, :S], dls[0], dlb[0], dwfc, dbfc[0], dwproj, dbproj[0])
+
+
+def make_mlp_subpath(act: str = "quick_gelu", chunk: int = 256,
+                     interpret: bool = False):
+    """Differentiable fused MLP sub-path: Pallas forward AND backward.
+
+    Signature: f(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj) ->
+    x + MLP(LN(x)). Weight-gradient cotangents are cast to the primal dtypes."""
+
+    @jax.custom_vjp
+    def f(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj):
+        return fused_mlp_block(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
+                               act=act, chunk=chunk, interpret=interpret)
+
+    def fwd(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj):
+        out = f(x, ln_scale, ln_bias, wfc, bfc, wproj, bproj)
+        return out, (x, ln_scale, ln_bias, wfc, bfc, wproj, bproj)
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wfc, bfc, wproj, bproj = res
+        dx, dls, dlb, dwfc, dbfc, dwproj, dbproj = fused_mlp_block_bwd(
+            g, x, ln_scale, ln_bias, wfc, bfc, wproj, act=act, chunk=chunk,
+            interpret=interpret)
+        return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwfc.astype(wfc.dtype), dbfc.astype(bfc.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
