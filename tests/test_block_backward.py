@@ -1,0 +1,165 @@
+"""Gradient parity of the backward megakernels vs jax.grad of the XLA
+sub-paths (fp32, interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvts_tpu.ops.fused_forward import _layernorm, _var_attention_xla
+from tvts_tpu.ops.pallas_block_attention import make_mlp_subpath
+from tvts_tpu.ops.pallas_block_backward import make_space_subpath
+
+ARGNAMES_SPACE = ["dx", "dbase", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+
+
+def _attn_args(seed, B, T, N, D):
+    rng = np.random.default_rng(seed)
+    S = 1 + T * N
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    base = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    ln_s = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    wqkv = jnp.asarray((rng.normal(size=(D, 3 * D)) * 0.07).astype(np.float32))
+    bqkv = jnp.asarray((rng.normal(size=(3 * D,)) * 0.07).astype(np.float32))
+    wproj = jnp.asarray((rng.normal(size=(D, D)) * 0.07).astype(np.float32))
+    bproj = jnp.asarray((rng.normal(size=(D,)) * 0.07).astype(np.float32))
+    return x, base, ln_s, ln_b, wqkv, bqkv, wproj, bproj
+
+
+def _space_ref(T, N, H):
+    def ref(x, base, ln_s, ln_b, wqkv, bqkv, wproj, bproj):
+        p = {"qkv": {"kernel": wqkv, "bias": bqkv},
+             "proj": {"kernel": wproj, "bias": bproj}}
+        ln = {"scale": ln_s, "bias": ln_b}
+        return base + _var_attention_xla(_layernorm(x, ln), p, T, N, "space", H)
+    return ref
+
+
+@pytest.mark.parametrize("shape", [(2, 3, 5, 32), (1, 4, 2, 64)])
+def test_space_subpath_grads(shape):
+    B, T, N, D = shape
+    H = 4
+    args = _attn_args(0, B, T, N, D)
+    f = make_space_subpath(T, N, H, interpret=True)
+    ref = _space_ref(T, N, H)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    g_f = jax.grad(loss(f), argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss(ref), argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+def test_mlp_subpath_grads_gelu():
+    rng = np.random.default_rng(1)
+    B, S, D, Hd = 2, 21, 32, 128
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    ln_s = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    wfc = jnp.asarray((rng.normal(size=(D, Hd)) * 0.07).astype(np.float32))
+    bfc = jnp.asarray((rng.normal(size=(Hd,)) * 0.07).astype(np.float32))
+    wproj = jnp.asarray((rng.normal(size=(Hd, D)) * 0.07).astype(np.float32))
+    bproj = jnp.asarray((rng.normal(size=(D,)) * 0.07).astype(np.float32))
+    args = (x, ln_s, ln_b, wfc, bfc, wproj, bproj)
+
+    from tvts_tpu.ops.fused_forward import _mlp
+
+    def ref(x, ln_s, ln_b, wfc, bfc, wproj, bproj):
+        p = {"c_fc": {"kernel": wfc, "bias": bfc},
+             "c_proj": {"kernel": wproj, "bias": bproj}}
+        return x + _mlp(_layernorm(x, {"scale": ln_s, "bias": ln_b}), p, "gelu")
+
+    f = make_mlp_subpath(act="gelu", chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(g_f, g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=f"arg {i}")
+
+
+def _time_ref(T, N, H):
+    def ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj):
+        p = {"qkv": {"kernel": wqkv, "bias": bqkv},
+             "proj": {"kernel": wproj, "bias": bproj}}
+        ln = {"scale": ln_s, "bias": ln_b}
+        return x + _var_attention_xla(_layernorm(x, ln), p, T, N, "time", H)
+    return ref
+
+
+@pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4),
+                                         ((1, 4, 2, 64), 8)])
+def test_time_subpath_grads(shape, chunk):
+    from tvts_tpu.ops.pallas_block_backward import make_time_subpath
+
+    B, T, N, D = shape
+    H = 4
+    x, _, ln_s, ln_b, wqkv, bqkv, wproj, bproj = _attn_args(2, B, T, N, D)
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    f = make_time_subpath(T, N, H, chunk=chunk, interpret=True)
+    ref = _time_ref(T, N, H)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(7)))(*args)
+    names = ["dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for n, a, b in zip(names, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+def test_fused_train_step_matches_xla(monkeypatch):
+    """Full TVTSv2 train step with the fused differentiable tower (Pallas
+    fwd+bwd, interpret) matches the XLA train step: loss + gradients."""
+    from tests.test_train_step import make_batch
+    from tests.test_tvtsv2_parity import tiny_config
+    from tvts_tpu.models.tvts_v2 import TVTSv2
+    from tvts_tpu.ops.fused_forward import make_fused_train_apply
+    from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+    from tvts_tpu.train.step import create_train_state, make_train_step
+
+    cfg = tiny_config("openai")
+    batch = make_batch(cfg, B=2)
+    model = TVTSv2(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["video"][:1],
+                        batch["text_ids"][: cfg.num_clips],
+                        batch["keep_ind"][:1])["params"]
+    tx = make_optimizer(params, OptimizerConfig(text_layers=cfg.text.layers,
+                                                text_tune_layers=1))
+
+    from tvts_tpu.train.step import make_loss_fn
+
+    apply_fn = make_fused_train_apply(
+        model, cfg, num_frames=cfg.vision.num_frames,
+        n_keep=cfg.vision.n_keep, dtype=jnp.float32, time_chunk=8,
+        interpret=True)
+
+    loss_ref = make_loss_fn(model)
+    loss_fused = make_loss_fn(model, apply_fn=apply_fn)
+    (l_ref, _), g_ref = jax.value_and_grad(loss_ref, has_aux=True)(params, batch)
+    (l_f, _), g_f = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_f)[0]
+    for (path, a), (_, b) in zip(flat_f, flat_ref):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=2e-3, err_msg=name)
+
+    # the optimizer step runs end to end with the fused apply
+    step_f = make_train_step(model, tx, donate=False, apply_fn=apply_fn)
+    state_f, aux_f = step_f(create_train_state(params, tx), batch)
+    assert np.isfinite(float(aux_f["loss"]))

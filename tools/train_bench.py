@@ -39,16 +39,26 @@ def main():
     ocfg = OptimizerConfig(schedule=(6, 8), steps_per_epoch=1000)
     tx = make_optimizer(params, ocfg)
     state = create_train_state(params, tx)
-    step = make_train_step(model, tx, donate=True)
+    apply_fn = None
+    if os.environ.get("TVTS_TPU_TRAIN_FUSED", "0") == "1":
+        from tvts_tpu.ops.fused_forward import make_fused_train_apply
+
+        apply_fn = make_fused_train_apply(
+            model, cfg, num_frames=v.num_frames, n_keep=v.n_keep,
+            time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")))
+        print("fused train path (Pallas fwd+bwd megakernels)")
+    step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 
     state, aux = step(state, batch)
     float(aux["loss"])  # force compile + first step
-    t0 = time.perf_counter()
     iters = 8
-    for _ in range(iters):
-        state, aux = step(state, batch)
-    float(aux["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, aux = step(state, batch)
+        float(aux["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     print(f"B/16 pretrain step (B={B}): {dt * 1000:.1f} ms = "
           f"{B / dt:.2f} clips/s/chip, loss {float(aux['loss']):.3f} "
           f"sort_acc {float(aux['sort_acc']):.3f}")

@@ -68,28 +68,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
     Returns (pooled, tokens) per the config's pool_style."""
-    if video.ndim == 4:
-        video = video[:, None]
-    B, T, C, H, W = video.shape
-
-    frames = video.reshape(B * T, C, H, W).transpose(0, 2, 3, 1).astype(dtype)
-    x = jax.lax.conv_general_dilated(
-        frames, params["conv1"]["kernel"].astype(dtype),
-        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    n = x.shape[1] * x.shape[2]
-    x = x.reshape(B, T, n, cfg.width)
-
-    pos = params["positional_embedding"]
-    x = x + (pos[None, None, 1:] + params["temporal_embedding"][None, :T, None]
-             ).astype(dtype)
-    if keep_ind is not None:
-        x = gather_tube_tokens(x, keep_ind)
-    cls = (params["class_embedding"] + pos[0]).astype(dtype)
-    x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.width)),
-                         x.reshape(B, -1, cfg.width)], axis=1)
-    x = _layernorm(x, params["ln_pre"])
-
+    x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
     n_keep = (x.shape[1] - 1) // T
     if kernel_version == 2:
         # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
@@ -165,6 +144,113 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                       bp["mlp"], cfg.act)
 
     return _pool(params, cfg, x, dtype)
+
+
+def _embed_stem(params, cfg, video, keep_ind, dtype):
+    """Patchify + pos/temporal embed + tube mask + CLS + ln_pre (the
+    SpaceTimeViT stem, video_encoder_ViT_B_16.py:176-216). Differentiable."""
+    if video.ndim == 4:
+        video = video[:, None]
+    B, T, C, H, W = video.shape
+
+    frames = video.reshape(B * T, C, H, W).transpose(0, 2, 3, 1).astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        frames, params["conv1"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n = x.shape[1] * x.shape[2]
+    x = x.reshape(B, T, n, cfg.width)
+
+    pos = params["positional_embedding"]
+    x = x + (pos[None, None, 1:] + params["temporal_embedding"][None, :T, None]
+             ).astype(dtype)
+    if keep_ind is not None:
+        x = gather_tube_tokens(x, keep_ind)
+    cls = (params["class_embedding"] + pos[0]).astype(dtype)
+    x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.width)),
+                         x.reshape(B, -1, cfg.width)], axis=1)
+    return _layernorm(x, params["ln_pre"]), T
+
+
+def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
+                             dtype=jnp.bfloat16, time_chunk: int = 128,
+                             mlp_chunk: int = 256, interpret: bool = False):
+    """DIFFERENTIABLE fused tower forward: every block runs the three v2
+    megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward).
+    Shapes are fixed at factory time (num_frames, n_keep) as in training.
+
+    Returns fn(params, video, keep_ind) -> (pooled, tokens)."""
+    from tvts_tpu.ops.pallas_block_attention import make_mlp_subpath
+    from tvts_tpu.ops.pallas_block_backward import (
+        make_space_subpath,
+        make_time_subpath,
+    )
+
+    time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
+                               chunk=time_chunk, interpret=interpret)
+    space_f = make_space_subpath(num_frames, n_keep, cfg.heads,
+                                 interpret=interpret)
+    mlp_f = make_mlp_subpath(act=cfg.act, chunk=mlp_chunk,
+                             interpret=interpret)
+
+    def fwd(params, video, keep_ind=None):
+        x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
+        assert T == num_frames and (x.shape[1] - 1) // T == n_keep, \
+            "shape mismatch vs factory configuration"
+        for i in range(cfg.layers):
+            bp = params[f"blocks_{i}"]
+            tr = time_f(
+                x, bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                bp["timeattn"]["proj"]["bias"].astype(dtype))
+            sr = space_f(
+                tr, x, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                bp["attn"]["qkv"]["kernel"].astype(dtype),
+                bp["attn"]["qkv"]["bias"].astype(dtype),
+                bp["attn"]["proj"]["kernel"].astype(dtype),
+                bp["attn"]["proj"]["bias"].astype(dtype))
+            x = mlp_f(
+                sr, bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                bp["mlp"]["c_proj"]["bias"].astype(dtype))
+        return _pool(params, cfg, x, dtype)
+
+    return fwd
+
+
+def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
+                           dtype=jnp.bfloat16, time_chunk: int = 128,
+                           interpret: bool = False):
+    """Apply adapter for train/step.make_train_step(apply_fn=...): the video
+    tower runs the fused differentiable forward; text + sort head run through
+    the flax module (cheap). Mirrors TVTSv2.__call__ (models/tvts_v2.py)."""
+    tower_fwd = make_fused_train_forward(cfg.vision, num_frames, n_keep,
+                                         dtype=dtype, time_chunk=time_chunk,
+                                         interpret=interpret)
+
+    def apply(params, batch):
+        video, text_ids = batch["video"], batch["text_ids"]
+        keep_ind = batch.get("keep_ind")
+        bz = video.shape[0]
+        text_emb = model.apply({"params": params}, text_ids,
+                               method=lambda m, t: m.compute_text(t))
+        n_trans = text_emb.shape[0] // bz
+        per_clip = text_emb.reshape(n_trans, bz, text_emb.shape[-1])
+        text_embeddings = per_clip.mean(axis=0)
+        pooled, tokens = tower_fwd(params["video_model"], video, keep_ind)
+        predict_order = None
+        if n_trans != 1:
+            sort_text = jax.lax.stop_gradient(per_clip).transpose(1, 0, 2)
+            predict_order = model.apply(
+                {"params": params}, sort_text, tokens,
+                method=lambda m, a, b: m.pred_model(a, b))
+        return text_embeddings, pooled, predict_order
+
+    return apply
 
 
 def _pool(params, cfg, x, dtype):

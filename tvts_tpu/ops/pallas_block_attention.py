@@ -408,11 +408,15 @@ def _ln_fn(ln_s, ln_b):
     return layernorm
 
 
-def _make_time_block_kernel_v2(H: int, T: int, N: int):
+def _make_time_block_kernel_v2(H: int, T: int, N: int,
+                               save_stats: bool = False):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
-               o_ref, ocls_ref,
-               m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
+        if save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         """Grid (B, C), c minor. x block [1, T, Nc, D]. Outputs: o = x + proj
         (time_residual, patch rows); ocls = cls + proj (written at c == C-1).
         m/l (SMEM [H]) + acc (VMEM [H, d]) hold the CLS online-softmax state."""
@@ -521,6 +525,11 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int):
                             preferred_element_type=jnp.float32) \
                 + bproj_ref[:].astype(jnp.float32)
             ocls_ref[0] = (cls_ref[0].astype(jnp.float32) + projc).astype(dtype)
+            if save_stats:
+                # per-head logsumexp + pre-proj CLS attention for the backward
+                for h in range(H):
+                    lse_ref[0, h] = m_scr[h] + jnp.log(l_scr[h])
+                acls_ref[0] = cls_att
 
     return kernel
 
@@ -528,7 +537,8 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int):
 def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   bproj, num_frames: int,
                                   patches_per_frame: int, num_heads: int,
-                                  chunk: int = 64, interpret: bool = False):
+                                  chunk: int = 64, save_stats: bool = False,
+                                  interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs)."""
     B, S, D = x.shape
@@ -558,14 +568,23 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                               memory_space=pltpu.VMEM)
 
     b3 = bqkv.reshape(3, D)
-    out_p, out_cls = pl.pallas_call(
-        _make_time_block_kernel_v2(num_heads, T, N),
+    out_specs = [chunk_spec, ocls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, num_heads), lambda b, c: (b, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, num_heads), jnp.float32),
+                      jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+    outs = pl.pallas_call(
+        _make_time_block_kernel_v2(num_heads, T, N, save_stats),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
-        out_specs=(chunk_spec, ocls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.VMEM((num_heads, d), jnp.float32)],
@@ -574,16 +593,22 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
         interpret=interpret,
     )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
+    out_p, out_cls = outs[0], outs[1]
+    out = jnp.concatenate([out_cls,
+                           out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+    if save_stats:
+        return out, outs[2], outs[3]
+    return out
 
-    return jnp.concatenate([out_cls,
-                            out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
 
-
-def _make_space_block_kernel_v2(H: int, T: int):
+def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
-               o_ref, ocls_ref,
-               m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
+        if save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         """Grid (B, T), t minor. x block [1, 1, N, D] = attention input frame;
         base block = residual base. o = base + proj; ocls = base_cls + proj
         at t == T-1 (CLS online softmax across frames in scratch)."""
@@ -673,6 +698,10 @@ def _make_space_block_kernel_v2(H: int, T: int):
                 + bproj_ref[:].astype(jnp.float32)
             ocls_ref[0] = (basecls_ref[0].astype(jnp.float32)
                            + projc).astype(dtype)
+            if save_stats:
+                for h in range(H):
+                    lse_ref[0, h] = m_scr[h] + jnp.log(l_scr[h])
+                acls_ref[0] = cls_att
 
     return kernel
 
@@ -680,6 +709,7 @@ def _make_space_block_kernel_v2(H: int, T: int):
 def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, bproj, num_frames: int,
                                    patches_per_frame: int, num_heads: int,
+                                   save_stats: bool = False,
                                    interpret: bool = False):
     """Whole space sub-path INCLUDING residual from `base`: returns
     base + spaceattn(ln(x)) as [B, S, D] (reference residual-from-block-input
@@ -708,15 +738,24 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
                               memory_space=pltpu.VMEM)
 
     b3 = bqkv.reshape(3, D)
-    out_p, out_cls = pl.pallas_call(
-        _make_space_block_kernel_v2(num_heads, T),
+    out_specs = [frame_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, num_heads), lambda b, t: (b, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, num_heads), jnp.float32),
+                      jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v2(num_heads, T, save_stats),
         grid=(B, T),
         in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
                   wproj_spec, vec_spec],
-        out_specs=(frame_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.VMEM((num_heads, d), jnp.float32)],
@@ -726,8 +765,10 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
       ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
       bproj.reshape(1, D))
-
-    return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
+    out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
+    if save_stats:
+        return out, outs[2], outs[3]
+    return out
 
 
 # ---------------------------------------------------------------------------

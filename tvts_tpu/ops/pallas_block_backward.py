@@ -1,0 +1,647 @@
+"""Backward megakernels for the v2 attention sub-paths (training).
+
+Same fusion philosophy as the forwards (ops/pallas_block_attention.py): one
+Pallas call per sub-path per block. The backward recomputes LN/qkv/probs in
+VMEM (flash-attention style), consumes the CLS-row softmax stats saved by the
+forward (per-head logsumexp + pre-proj CLS attention output), and accumulates
+weight gradients in fp32 directly in constant-index output refs across the
+whole grid.
+
+Gradient contracts (verified vs jax.grad of the XLA sub-path in
+tests/test_block_backward.py):
+
+space: o = base + Proj(SpaceAttn(LN(x)));  d(base) = g (added XLA-side),
+       kernel returns dx, d(ln), d(wqkv/bqkv), d(wproj/bproj).
+time:  o = x + Proj(TimeAttn(LN(x)));      kernel returns the SUM dx = g + dLN
+       path (residual folded like the forward).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tvts_tpu.ops.pallas_block_attention import (
+    fused_space_attention_block_v2,
+    fused_time_attention_block_v2,
+)
+
+
+def _ln_fwd(x, ln_s, ln_b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    return xhat * ln_s[None] + ln_b[None], xhat, rstd
+
+
+def _ln_bwd(dxln, xhat, rstd, ln_s):
+    dxhat = dxln * ln_s[None]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return (dxhat - m1 - xhat * m2) * rstd
+
+
+def _make_space_bwd_kernel(H: int):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
+               lse_ref, acls_ref,
+               dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
+               dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+               dqc_scr, dck_scr, dcv_scr):
+        """Grid (B, T), t minor. One frame's backward + CLS-row accumulation."""
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        first = (pl.program_id(0) == 0) & (t == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkv_ref, dbq_ref, dbk_ref, dbv_ref, dwproj_ref,
+                        dbproj_ref, dls_ref, dlb_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(t == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        dtype = x_ref.dtype
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+        bq = bq_ref[:].astype(jnp.float32)
+        bk = bk_ref[:].astype(jnp.float32)
+        bv = bv_ref[:].astype(jnp.float32)
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+
+        # ---- recompute forward intermediates -------------------------------
+        x_ln_f, xhat, rstd = _ln_fwd(x_ref[0, 0], ln_s, ln_b)
+        x_ln = x_ln_f.astype(dtype)
+        cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
+        cls_ln = cls_ln_f.astype(dtype)
+        q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq) * scale) \
+            .astype(dtype)
+        k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk).astype(dtype)
+        v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv).astype(dtype)
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq) * scale
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv
+
+        g_p = g_ref[0, 0]                                     # [N, D] dtype
+        dattn = jnp.dot(g_p, wproj_ref[:].T,
+                        preferred_element_type=jnp.float32)   # [N, D] fp32
+        gcls = gcls_ref[0]                                    # [1, D]
+        dattn_cls = jnp.dot(gcls, wproj_ref[:].T,
+                            preferred_element_type=jnp.float32)  # [1, D]
+        acls = acls_ref[0]                                    # [1, D] fp32
+
+        head_outs = []
+        dqs, dks, dvs = [], [], []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            kch = kc[:, sl]                                   # [1, d] fp32
+            vch = vc[:, sl]
+            qch = qc[:, sl]
+            lse_h = lse_ref[0, h]
+
+            logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            cls_logit = jnp.dot(qh, kch.astype(dtype).T,
+                                preferred_element_type=jnp.float32)  # [N,1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            pn = p / denom                                    # [N, N] fp32
+            pn_cls = p_cls / denom                            # [N, 1]
+            oh = jnp.dot(pn.astype(dtype), vh,
+                         preferred_element_type=jnp.float32) \
+                + pn_cls * vch
+            head_outs.append(oh.astype(dtype))
+
+            dout = dattn[:, sl]                               # [N, d] fp32
+            dout_b = dout.astype(dtype)
+            pn_b = pn.astype(dtype)
+            # value grads
+            dv_h = jnp.dot(pn_b.T, dout_b,
+                           preferred_element_type=jnp.float32)
+            dcv_scr[h, :] += jnp.sum(pn_cls * dout, axis=0)
+            # prob grads + softmax bwd
+            dp = jnp.dot(dout_b, vh.T, preferred_element_type=jnp.float32)
+            dp_cls = jnp.sum(dout * vch, axis=-1, keepdims=True)  # [N,1]
+            rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
+                + pn_cls * dp_cls
+            ds = pn * (dp - rowsum)                           # [N, N] fp32
+            ds_cls = pn_cls * (dp_cls - rowsum)               # [N, 1]
+            ds_b = ds.astype(dtype)
+            dq_h = jnp.dot(ds_b, kh, preferred_element_type=jnp.float32) \
+                + ds_cls * kch
+            dk_h = jnp.dot(ds_b.T, qh, preferred_element_type=jnp.float32)
+            dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(jnp.float32), axis=0)
+
+            # ---- CLS row contribution from this frame's keys ---------------
+            dout_c = dattn_cls[:, sl]                         # [1, d] fp32
+            delta_h = jnp.sum(acls[:, sl] * dout_c)
+            lrow = jnp.dot(kh.astype(jnp.float32), qch.T,
+                           preferred_element_type=jnp.float32)  # [N, 1]
+            pn_row = jnp.exp(lrow - lse_h)                    # [N, 1]
+            dv_h = dv_h + pn_row * dout_c
+            dp_row = jnp.sum(vh.astype(jnp.float32) * dout_c, axis=-1,
+                             keepdims=True)                   # [N, 1]
+            ds_row = pn_row * (dp_row - delta_h)              # [N, 1]
+            dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(jnp.float32), axis=0)
+            dk_h = dk_h + ds_row * qch
+
+            # CLS self term (exactly once per batch element)
+            @pl.when(t == 0)
+            def _self(h=h, sl=sl, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
+                      delta_h=delta_h, lse_h=lse_h):
+                p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
+                dcv_scr[h, :] += p_self * dout_c[0]
+                dp_self = jnp.sum(vch * dout_c)
+                ds_self = p_self * (dp_self - delta_h)
+                dqc_scr[h, :] += ds_self * kch[0]
+                dck_scr[h, :] += ds_self * qch[0]
+
+            dqs.append(dq_h)
+            dks.append(dk_h)
+            dvs.append(dv_h)
+
+        attn_out = jnp.concatenate(head_outs, axis=-1)        # [N, D]
+        dwproj_ref[...] += jnp.dot(attn_out.T, g_p,
+                                   preferred_element_type=jnp.float32)
+        dbproj_ref[...] += jnp.sum(g_p.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+
+        dq = jnp.concatenate(dqs, axis=-1) * scale            # [N, D] fp32
+        dk = jnp.concatenate(dks, axis=-1)
+        dv = jnp.concatenate(dvs, axis=-1)
+        dq_b, dk_b, dv_b = (dq.astype(dtype), dk.astype(dtype),
+                            dv.astype(dtype))
+        x_ln_t = x_ln.T
+        dwqkv_ref[:, :D] += jnp.dot(x_ln_t, dq_b,
+                                    preferred_element_type=jnp.float32)
+        dwqkv_ref[:, D:2 * D] += jnp.dot(x_ln_t, dk_b,
+                                         preferred_element_type=jnp.float32)
+        dwqkv_ref[:, 2 * D:] += jnp.dot(x_ln_t, dv_b,
+                                        preferred_element_type=jnp.float32)
+        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+
+        dxln = jnp.dot(dq_b, wqkv_ref[:, :D].T,
+                       preferred_element_type=jnp.float32) \
+            + jnp.dot(dk_b, wqkv_ref[:, D:2 * D].T,
+                      preferred_element_type=jnp.float32) \
+            + jnp.dot(dv_b, wqkv_ref[:, 2 * D:].T,
+                      preferred_element_type=jnp.float32)
+        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        dx_ref[0, 0] = _ln_bwd(dxln, xhat, rstd, ln_s).astype(dx_ref.dtype)
+
+        # ---- CLS token assembly at the last frame --------------------------
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqc_rows = [dqc_scr[h:h + 1, :] for h in range(H)]
+            dkc_rows = [dck_scr[h:h + 1, :] for h in range(H)]
+            dvc_rows = [dcv_scr[h:h + 1, :] for h in range(H)]
+            dqc = jnp.concatenate(dqc_rows, axis=1) * scale   # [1, D]
+            dkc = jnp.concatenate(dkc_rows, axis=1)
+            dvc = jnp.concatenate(dvc_rows, axis=1)
+            cls_ln_t = cls_ln.astype(jnp.float32).T           # [D, 1]
+            dwqkv_ref[:, :D] += cls_ln_t * dqc
+            dwqkv_ref[:, D:2 * D] += cls_ln_t * dkc
+            dwqkv_ref[:, 2 * D:] += cls_ln_t * dvc
+            dbq_ref[...] += dqc
+            dbk_ref[...] += dkc
+            dbv_ref[...] += dvc
+            # the CLS row's output projection grads
+            dwproj_ref[...] += jnp.dot(acls.astype(dtype).T, gcls,
+                                       preferred_element_type=jnp.float32)
+            dbproj_ref[...] += gcls.astype(jnp.float32)
+            dxln_c = jnp.dot(dqc.astype(dtype), wqkv_ref[:, :D].T,
+                             preferred_element_type=jnp.float32) \
+                + jnp.dot(dkc.astype(dtype), wqkv_ref[:, D:2 * D].T,
+                          preferred_element_type=jnp.float32) \
+                + jnp.dot(dvc.astype(dtype), wqkv_ref[:, 2 * D:].T,
+                          preferred_element_type=jnp.float32)
+            dls_ref[...] += jnp.sum(dxln_c * xhat_c, axis=0, keepdims=True)
+            dlb_ref[...] += jnp.sum(dxln_c, axis=0, keepdims=True)
+            dxcls_ref[0] = _ln_bwd(dxln_c, xhat_c, rstd_c,
+                                   ln_s).astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                       wproj, lse, attn_cls, num_frames: int,
+                                       patches_per_frame: int, num_heads: int,
+                                       interpret: bool = False):
+    """Backward of the space sub-path (w.r.t. the ATTENTION input x; the
+    residual-base grad is just g and is added by the caller). Returns
+    (dx [B,S,D], dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    d = D // num_heads
+    assert S == 1 + T * N
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+    b3 = bqkv.reshape(3, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, num_heads), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel(num_heads),
+        grid=(B, T),
+        in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, lse_spec, cls_spec],
+        out_specs=(frame_spec, cls_spec, wqkv_spec, vec_spec, vec_spec,
+                   vec_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((num_heads, d), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse,
+      attn_cls.reshape(B, 1, D))
+    (dx_p, dx_cls, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
+    dx = jnp.concatenate([dx_cls, dx_p.reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]])
+    return dx, dls[0], dlb[0], dwqkv, dbqkv, dwproj, dbproj[0]
+
+
+def make_space_subpath(num_frames: int, patches_per_frame: int,
+                       num_heads: int, interpret: bool = False):
+    """Differentiable fused space sub-path: Pallas forward AND backward.
+
+    f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) ->
+    base + SpaceAttn(LN(x)) @ wproj + bproj."""
+
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_space_attention_block_v2(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H,
+            interpret=interpret)
+
+    def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        out, lse, acls = fused_space_attention_block_v2(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, save_stats=True,
+            interpret=interpret)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls)
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v2_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                num_frames=T, patches_per_frame=N, num_heads=H,
+                interpret=interpret)
+        return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _make_time_bwd_kernel(H: int, T: int, N: int):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
+               lse_ref, acls_ref,
+               dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
+               dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+               dqc_scr, dck_scr, dcv_scr):
+        """Grid (B, C), c minor. Backward of the TIME sub-path chunk; the
+        forward folds the residual (o = x + proj), so dx = g + LN-path."""
+        Nc = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        c = pl.program_id(1)
+        first = (pl.program_id(0) == 0) & (c == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkv_ref, dbq_ref, dbk_ref, dbv_ref, dwproj_ref,
+                        dbproj_ref, dls_ref, dlb_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(c == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        dtype = x_ref.dtype
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+        bq = bq_ref[:].astype(jnp.float32)
+        bk = bk_ref[:].astype(jnp.float32)
+        bv = bv_ref[:].astype(jnp.float32)
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+
+        x_flat = x_ref[0].reshape(T * Nc, D)
+        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b)
+        x_ln = x_ln_f.astype(dtype)
+        cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
+        cls_ln = cls_ln_f.astype(dtype)
+        q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq) * scale) \
+            .astype(dtype).reshape(T, Nc, D)
+        k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk) \
+            .astype(dtype).reshape(T, Nc, D)
+        v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv) \
+            .astype(dtype).reshape(T, Nc, D)
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32) + bq) * scale
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv
+
+        g_flat = g_ref[0].reshape(T * Nc, D)
+        dattn = jnp.dot(g_flat, wproj_ref[:].T,
+                        preferred_element_type=jnp.float32)   # [T*Nc, D] fp32
+        dattn3 = dattn.astype(dtype).reshape(T, Nc, D)
+        gcls = gcls_ref[0]
+        dattn_cls = jnp.dot(gcls, wproj_ref[:].T,
+                            preferred_element_type=jnp.float32)  # [1, D]
+        acls = acls_ref[0]                                    # [1, D] fp32
+
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
+        valid = loc < N                                       # [T, Nc]
+
+        attn_heads = []
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh = jnp.swapaxes(q[..., sl], -1, -2).astype(jnp.float32)  # [T,d,Nc]
+            kh = jnp.swapaxes(k[..., sl], -1, -2).astype(jnp.float32)
+            vh = jnp.swapaxes(v[..., sl], -1, -2).astype(jnp.float32)
+            douth = jnp.swapaxes(dattn3[..., sl], -1, -2).astype(jnp.float32)
+            qch = qc[0, sl]                                   # [d]
+            kch = kc[0, sl]
+            vch = vc[0, sl]
+            lse_h = lse_ref[0, h]
+
+            dq_h = jnp.zeros_like(qh)
+            dk_h = jnp.zeros_like(kh)
+            dv_h = jnp.zeros_like(vh)
+            outs_t = []
+            for t in range(T):
+                l = jnp.sum(qh[t][None] * kh, axis=1)         # [T, Nc]
+                cls_l = jnp.sum(qh[t] * kch[:, None], axis=0)[None]  # [1, Nc]
+                full = jnp.concatenate([cls_l, l], axis=0)    # [T+1, Nc]
+                m = jnp.max(full, axis=0, keepdims=True)
+                p = jnp.exp(full - m)
+                denom = jnp.sum(p, axis=0, keepdims=True)
+                pn = p / denom                                # [T+1, Nc]
+                out_t = jnp.sum(pn[1:][:, None, :] * vh, axis=0) \
+                    + pn[0][None, :] * vch[:, None]           # [d, Nc]
+                outs_t.append(out_t.astype(dtype))
+
+                dout_t = douth[t]                             # [d, Nc]
+                dv_h = dv_h + pn[1:][:, None, :] * dout_t[None]
+                dcv_scr[h, :] += jnp.sum(pn[0][None, :] * dout_t, axis=1)
+                dp = jnp.sum(vh * dout_t[None], axis=1)       # [T, Nc]
+                dp_cls = jnp.sum(vch[:, None] * dout_t, axis=0)[None]  # [1,Nc]
+                full_dp = jnp.concatenate([dp_cls, dp], axis=0)
+                rowsum = jnp.sum(pn * full_dp, axis=0, keepdims=True)  # [1,Nc]
+                ds = pn * (full_dp - rowsum)                  # [T+1, Nc]
+                dq_h = dq_h.at[t].add(
+                    jnp.sum(ds[1:][:, None, :] * kh, axis=0)
+                    + ds[0][None, :] * kch[:, None])
+                dk_h = dk_h + ds[1:][:, None, :] * qh[t][None]
+                dck_scr[h, :] += jnp.sum(ds[0][None, :] * qh[t], axis=1)
+
+            # ---- CLS row over this chunk's (valid) keys --------------------
+            dout_c = dattn_cls[0, sl]                         # [d]
+            delta_h = jnp.sum(acls[0, sl] * dout_c)
+            lrow = jnp.sum(kh * qch[None, :, None], axis=1)   # [T, Nc]
+            pn_row = jnp.where(valid, jnp.exp(lrow - lse_h), 0.0)
+            dv_h = dv_h + pn_row[:, None, :] * dout_c[None, :, None]
+            dp_row = jnp.sum(vh * dout_c[None, :, None], axis=1)  # [T, Nc]
+            ds_row = pn_row * (dp_row - delta_h)
+            dqc_scr[h, :] += jnp.sum(ds_row[:, None, :] * kh, axis=(0, 2))
+            dk_h = dk_h + ds_row[:, None, :] * qch[None, :, None]
+
+            @pl.when(c == 0)
+            def _self(h=h, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
+                      delta_h=delta_h, lse_h=lse_h):
+                p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
+                dcv_scr[h, :] += p_self * dout_c
+                dp_self = jnp.sum(vch * dout_c)
+                ds_self = p_self * (dp_self - delta_h)
+                dqc_scr[h, :] += ds_self * kch
+                dck_scr[h, :] += ds_self * qch
+
+            attn_heads.append(jnp.stack(outs_t))              # [T, d, Nc]
+            dq_heads.append(dq_h)
+            dk_heads.append(dk_h)
+            dv_heads.append(dv_h)
+
+        attn = jnp.concatenate(attn_heads, axis=1)            # [T, D, Nc]
+        attn_flat = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
+        dwproj_ref[...] += jnp.dot(attn_flat.T.astype(dtype),
+                                   g_flat.astype(dtype),
+                                   preferred_element_type=jnp.float32)
+        dbproj_ref[...] += jnp.sum(g_flat.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+
+        def to_flat(heads, mul=1.0):
+            full = jnp.concatenate(heads, axis=1)             # [T, D, Nc]
+            return (jnp.swapaxes(full, -1, -2).reshape(T * Nc, D) * mul)
+
+        dq = to_flat(dq_heads, scale)
+        dk = to_flat(dk_heads)
+        dv = to_flat(dv_heads)
+        dq_b, dk_b, dv_b = dq.astype(dtype), dk.astype(dtype), dv.astype(dtype)
+        x_ln_t = x_ln.T
+        dwqkv_ref[:, :D] += jnp.dot(x_ln_t, dq_b,
+                                    preferred_element_type=jnp.float32)
+        dwqkv_ref[:, D:2 * D] += jnp.dot(x_ln_t, dk_b,
+                                         preferred_element_type=jnp.float32)
+        dwqkv_ref[:, 2 * D:] += jnp.dot(x_ln_t, dv_b,
+                                        preferred_element_type=jnp.float32)
+        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+
+        dxln = jnp.dot(dq_b, wqkv_ref[:, :D].T,
+                       preferred_element_type=jnp.float32) \
+            + jnp.dot(dk_b, wqkv_ref[:, D:2 * D].T,
+                      preferred_element_type=jnp.float32) \
+            + jnp.dot(dv_b, wqkv_ref[:, 2 * D:].T,
+                      preferred_element_type=jnp.float32)
+        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        # residual folded in the forward: dx = g + LN path
+        dx = g_flat.astype(jnp.float32) + _ln_bwd(dxln, xhat, rstd, ln_s)
+        dx_ref[0] = dx.reshape(T, Nc, D).astype(dx_ref.dtype)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqc = jnp.concatenate([dqc_scr[h:h + 1, :] for h in range(H)],
+                                  axis=1) * scale             # [1, D]
+            dkc = jnp.concatenate([dck_scr[h:h + 1, :] for h in range(H)],
+                                  axis=1)
+            dvc = jnp.concatenate([dcv_scr[h:h + 1, :] for h in range(H)],
+                                  axis=1)
+            cls_ln_t = cls_ln.astype(jnp.float32).T
+            dwqkv_ref[:, :D] += cls_ln_t * dqc
+            dwqkv_ref[:, D:2 * D] += cls_ln_t * dkc
+            dwqkv_ref[:, 2 * D:] += cls_ln_t * dvc
+            dbq_ref[...] += dqc
+            dbk_ref[...] += dkc
+            dbv_ref[...] += dvc
+            dwproj_ref[...] += jnp.dot(acls.astype(dtype).T, gcls,
+                                       preferred_element_type=jnp.float32)
+            dbproj_ref[...] += gcls.astype(jnp.float32)
+            dxln_c = jnp.dot(dqc.astype(dtype), wqkv_ref[:, :D].T,
+                             preferred_element_type=jnp.float32) \
+                + jnp.dot(dkc.astype(dtype), wqkv_ref[:, D:2 * D].T,
+                          preferred_element_type=jnp.float32) \
+                + jnp.dot(dvc.astype(dtype), wqkv_ref[:, 2 * D:].T,
+                          preferred_element_type=jnp.float32)
+            dls_ref[...] += jnp.sum(dxln_c * xhat_c, axis=0, keepdims=True)
+            dlb_ref[...] += jnp.sum(dxln_c, axis=0, keepdims=True)
+            dxcls_ref[0] = (gcls.astype(jnp.float32)
+                            + _ln_bwd(dxln_c, xhat_c, rstd_c, ln_s)) \
+                .astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                      wproj, lse, attn_cls, num_frames: int,
+                                      patches_per_frame: int, num_heads: int,
+                                      chunk: int = 64,
+                                      interpret: bool = False):
+    """Backward of the time sub-path (residual folded: returns the FULL dx)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    d = D // num_heads
+    assert S == 1 + T * N
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+    n_pad = (-N) % chunk
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        x_p = jnp.pad(x_p, pad)
+        g_p = jnp.pad(g_p, pad)
+    Np = N + n_pad
+    b3 = bqkv.reshape(3, D)
+
+    chunk_spec = pl.BlockSpec((1, T, chunk, D), lambda b, c: (b, 0, c, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, num_heads), lambda b, c: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_time_bwd_kernel(num_heads, T, N),
+        grid=(B, Np // chunk),
+        in_specs=[chunk_spec, cls_spec, chunk_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, lse_spec, cls_spec],
+        out_specs=(chunk_spec, cls_spec, wqkv_spec, vec_spec, vec_spec,
+                   vec_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((num_heads, d), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse, attn_cls.reshape(B, 1, D))
+    (dx_p, dx_cls, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
+    dx = jnp.concatenate([dx_cls, dx_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]])
+    return dx, dls[0], dlb[0], dwqkv, dbqkv, dwproj, dbproj[0]
+
+
+def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
+                      chunk: int = 64, interpret: bool = False):
+    """Differentiable fused time sub-path (residual included):
+    f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + TimeAttn path."""
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_time_attention_block_v2(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
+            patches_per_frame=N, num_heads=H, chunk=chunk, interpret=interpret)
+
+    def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        out, lse, acls = fused_time_attention_block_v2(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
+            patches_per_frame=N, num_heads=H, chunk=chunk, save_stats=True,
+            interpret=interpret)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls)
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_time_attention_block_v2_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                num_frames=T, patches_per_frame=N, num_heads=H, chunk=chunk,
+                interpret=interpret)
+        return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
