@@ -336,7 +336,9 @@ def _make_mlp_kernel(act: str):
         if act == "quick_gelu":
             h = h * jax.nn.sigmoid(1.702 * h)
         else:
-            h = jax.nn.gelu(h, approximate=False)
+            # exact gelu via erf (jax.nn.gelu lowers to erfc, which Mosaic
+            # does not implement)
+            h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
         out = jnp.dot(h.astype(x.dtype), wproj_ref[:],
                       preferred_element_type=jnp.float32) \
             + bproj_ref[:].astype(jnp.float32)
@@ -528,7 +530,7 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
             if save_stats:
                 # per-head logsumexp + pre-proj CLS attention for the backward
                 for h in range(H):
-                    lse_ref[0, h] = m_scr[h] + jnp.log(l_scr[h])
+                    lse_ref[0, 0, h] = m_scr[h] + jnp.log(l_scr[h])
                 acls_ref[0] = cls_att
 
     return kernel
@@ -572,11 +574,11 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     out_shape = [jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
                  jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
     if save_stats:
-        out_specs += [pl.BlockSpec((1, num_heads), lambda b, c: (b, 0),
-                                   memory_space=pltpu.VMEM),
+        out_specs += [pl.BlockSpec((1, 1, num_heads), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
                                    memory_space=pltpu.VMEM)]
-        out_shape += [jax.ShapeDtypeStruct((B, num_heads), jnp.float32),
+        out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
                       jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
     outs = pl.pallas_call(
         _make_time_block_kernel_v2(num_heads, T, N, save_stats),
@@ -700,7 +702,7 @@ def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False):
                            + projc).astype(dtype)
             if save_stats:
                 for h in range(H):
-                    lse_ref[0, h] = m_scr[h] + jnp.log(l_scr[h])
+                    lse_ref[0, 0, h] = m_scr[h] + jnp.log(l_scr[h])
                 acls_ref[0] = cls_att
 
     return kernel
@@ -742,11 +744,11 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
     out_shape = [jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
                  jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
     if save_stats:
-        out_specs += [pl.BlockSpec((1, num_heads), lambda b, t: (b, 0),
-                                   memory_space=pltpu.VMEM),
+        out_specs += [pl.BlockSpec((1, 1, num_heads), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
                                    memory_space=pltpu.VMEM)]
-        out_shape += [jax.ShapeDtypeStruct((B, num_heads), jnp.float32),
+        out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
                       jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
     outs = pl.pallas_call(
         _make_space_block_kernel_v2(num_heads, T, save_stats),

@@ -114,7 +114,7 @@ def _make_space_bwd_kernel(H: int):
             kch = kc[:, sl]                                   # [1, d] fp32
             vch = vc[:, sl]
             qch = qc[:, sl]
-            lse_h = lse_ref[0, h]
+            lse_h = lse_ref[0, 0, h]
 
             logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
             cls_logit = jnp.dot(qh, kch.astype(dtype).T,
@@ -269,8 +269,8 @@ def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                              memory_space=pltpu.VMEM)
     wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
                               memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, num_heads), lambda b, t: (b, 0),
-                            memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
         _make_space_bwd_kernel(num_heads),
@@ -420,11 +420,11 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
             qch = qc[0, sl]                                   # [d]
             kch = kc[0, sl]
             vch = vc[0, sl]
-            lse_h = lse_ref[0, h]
+            lse_h = lse_ref[0, 0, h]
 
-            dq_h = jnp.zeros_like(qh)
             dk_h = jnp.zeros_like(kh)
             dv_h = jnp.zeros_like(vh)
+            dq_ts = []
             outs_t = []
             for t in range(T):
                 l = jnp.sum(qh[t][None] * kh, axis=1)         # [T, Nc]
@@ -446,12 +446,12 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
                 full_dp = jnp.concatenate([dp_cls, dp], axis=0)
                 rowsum = jnp.sum(pn * full_dp, axis=0, keepdims=True)  # [1,Nc]
                 ds = pn * (full_dp - rowsum)                  # [T+1, Nc]
-                dq_h = dq_h.at[t].add(
-                    jnp.sum(ds[1:][:, None, :] * kh, axis=0)
-                    + ds[0][None, :] * kch[:, None])
+                dq_ts.append(jnp.sum(ds[1:][:, None, :] * kh, axis=0)
+                             + ds[0][None, :] * kch[:, None])
                 dk_h = dk_h + ds[1:][:, None, :] * qh[t][None]
                 dck_scr[h, :] += jnp.sum(ds[0][None, :] * qh[t], axis=1)
 
+            dq_h = jnp.stack(dq_ts)                           # [T, d, Nc]
             # ---- CLS row over this chunk's (valid) keys --------------------
             dout_c = dattn_cls[0, sl]                         # [d]
             delta_h = jnp.sum(acls[0, sl] * dout_c)
@@ -580,8 +580,8 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                              memory_space=pltpu.VMEM)
     wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
                               memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, num_heads), lambda b, c: (b, 0),
-                            memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
         _make_time_bwd_kernel(num_heads, T, N),
