@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--fsdp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fused_kernels", action="store_true",
+                    help="video tower via the Pallas fwd+bwd megakernels "
+                         "(single-chip dp only; grads parity-tested)")
     ap.add_argument("-lr", "--learning_rate", type=float, default=None)
     ap.add_argument("-bs", "--batch_size", type=int, default=None)
     ap.add_argument("--clip_init", default=None,
@@ -114,7 +117,16 @@ def main():
             from tvts_tpu.utils.visualizer import RetrievalVis
 
             visualizer = RetrievalVis(config["name"], str(config._web_log_dir))
+        apply_fn = None
+        if args.fused_kernels:
+            from tvts_tpu.ops.fused_forward import make_fused_train_apply
+
+            apply_fn = make_fused_train_apply(
+                model, cfg, num_frames=cfg.vision.num_frames,
+                n_keep=cfg.vision.n_keep)
+            print("fused Pallas train kernels enabled")
         trainer = Trainer(model, params, tx, loaders, val_loaders,
+                          apply_fn=apply_fn,
                           epochs=tcfg.get("epochs", 10), mesh=mesh,
                           ckpt_manager=ckpt, init_val=tcfg.get("init_val", False),
                           max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),

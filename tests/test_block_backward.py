@@ -36,7 +36,7 @@ def _space_ref(T, N, H):
     return ref
 
 
-@pytest.mark.parametrize("shape", [(2, 3, 5, 32), (1, 4, 2, 64)])
+@pytest.mark.parametrize("shape", [(2, 3, 5, 32)])
 def test_space_subpath_grads(shape):
     B, T, N, D = shape
     H = 4
@@ -97,8 +97,7 @@ def _time_ref(T, N, H):
     return ref
 
 
-@pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4),
-                                         ((1, 4, 2, 64), 8)])
+@pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4)])
 def test_time_subpath_grads(shape, chunk):
     from tvts_tpu.ops.pallas_block_backward import make_time_subpath
 
