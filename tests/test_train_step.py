@@ -119,3 +119,42 @@ def test_sharded_step_matches_single_device(setup):
     p1 = np.asarray(state1.params["video_model"]["blocks_0"]["attn"]["qkv"]["kernel"])
     p8 = np.asarray(state8.params["video_model"]["blocks_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(p8, p1, atol=1e-5)
+
+
+def test_sharded_train_step_matches_global():
+    """shard_map step (explicit all_gather + grad psum; required for Pallas
+    kernels under dp) == the jit/global-array step, on an 8-device CPU mesh."""
+    import jax
+    from tests.test_tvtsv2_parity import tiny_config
+    from tvts_tpu.models.tvts_v2 import TVTSv2
+    from tvts_tpu.parallel import create_mesh, shard_batch
+    from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+    from tvts_tpu.train.step import (create_train_state, make_sharded_train_step,
+                                     make_train_step)
+
+    cfg = tiny_config("openai")
+    batch = make_batch(cfg, B=8)
+    model = TVTSv2(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["video"][:1],
+                        batch["text_ids"][: cfg.num_clips],
+                        batch["keep_ind"][:1])["params"]
+    tx = make_optimizer(params, OptimizerConfig(text_layers=cfg.text.layers,
+                                                text_tune_layers=1))
+    step_ref = make_train_step(model, tx, donate=False)
+    state_ref, aux_ref = step_ref(create_train_state(params, tx), batch)
+
+    mesh = create_mesh(dp=4, fsdp=2)
+    with mesh:
+        step_sh = make_sharded_train_step(model, tx, mesh, donate=False)
+        state_sh, aux_sh = step_sh(create_train_state(params, tx),
+                                   shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(aux_sh["loss"]), float(aux_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(aux_sh["loss_ce"]),
+                               float(aux_ref["loss_ce"]), rtol=1e-5)
+    # psum reduction order differs from the global-matmul grad path; Adam
+    # amplifies that fp32 noise, so compare with a hair more slack
+    for a, b in zip(jax.tree.leaves(state_sh.params),
+                    jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)

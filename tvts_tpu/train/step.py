@@ -126,3 +126,92 @@ def make_embed_fns(model) -> tuple[Callable, Callable]:
         return pooled
 
     return embed_text, embed_video
+
+
+def make_sharded_train_step(model, tx: optax.GradientTransformation,
+                            mesh, temperature: float = 0.05,
+                            donate: bool = True,
+                            apply_fn: Callable | None = None,
+                            axis_names=("dp", "fsdp")) -> Callable:
+    """Explicit shard_map train step: replicated params, batch sharded over the
+    data axes, per-device forward, all_gather'd contrastive matrix, grad psum.
+
+    Semantically identical to the jit/global-array step (the reference's
+    DDP + AllGather_multi contract), but REQUIRED when apply_fn contains
+    Pallas kernels: GSPMD cannot partition custom calls, so each device must
+    run the kernel on its local shard explicitly.
+
+    Expects the same batch dict as make_train_step, with text_ids clip-major
+    [n_trans * B, L]; the clip-major -> video-major resharding is done on the
+    global array before entering shard_map so each device gets its own
+    videos' clips.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from tvts_tpu.ops.losses import sort_accuracy, sort_loss
+
+    fwd = apply_fn or default_apply(model)
+    spec = P(axis_names)
+
+    def local_step(state, batch):
+        def loss_fn(params):
+            text_emb, video_emb, pred_order = fwd(params, batch)
+            video_all = jax.lax.all_gather(video_emb, axis_names, axis=0,
+                                           tiled=True)
+            text_all = jax.lax.all_gather(text_emb, axis_names, axis=0,
+                                          tiled=True)
+            sim = sim_matrix(video_all, text_all)
+            loss_ct = norm_softmax_loss(sim, temperature)
+            if pred_order is not None and "labels" in batch:
+                loss_ce = jax.lax.pmean(sort_loss(pred_order, batch["labels"]),
+                                        axis_names)
+                s_acc = jax.lax.pmean(
+                    sort_accuracy(pred_order, batch["labels"]), axis_names)
+            else:
+                loss_ce = jnp.zeros(())
+                s_acc = jnp.zeros(())
+            loss = loss_ct + loss_ce
+            return loss, {"loss": loss, "loss_ct": loss_ct,
+                          "loss_ce": loss_ce, "sort_acc": s_acc}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = jax.lax.psum(grads, axis_names)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), aux
+
+    def train_step(state: TrainState, batch):
+        B = batch["video"].shape[0]
+        n_trans = batch["text_ids"].shape[0] // B
+        batch = dict(batch)
+        if n_trans > 1:
+            # clip-major [n_trans*B, L] -> video-major so dim-0 sharding gives
+            # each device its own videos' clips
+            ids = batch["text_ids"]
+            batch["text_ids"] = ids.reshape(n_trans, B, -1) \
+                .transpose(1, 0, 2).reshape(n_trans * B, -1)
+
+        def local(state, batch):
+            if n_trans > 1:
+                b = dict(batch)
+                ids_l = b["text_ids"]
+                bl = ids_l.shape[0] // n_trans
+                # back to clip-major locally (the apply contract)
+                b["text_ids"] = ids_l.reshape(bl, n_trans, -1) \
+                    .transpose(1, 0, 2).reshape(n_trans * bl, -1)
+            else:
+                b = batch
+            return local_step(state, b)
+
+        batch_specs = {k: spec for k in batch}
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P()), check_vma=False)
+        return sharded(state, batch)
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
