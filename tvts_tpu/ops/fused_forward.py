@@ -64,7 +64,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  fuse_time: bool = True,
                                  fuse_mlp: bool = True,
                                  kernel_version: int = 2,
-                                 time_chunk: int = 64,
+                                 time_chunk: int = 128,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
     Returns (pooled, tokens) per the config's pool_style."""

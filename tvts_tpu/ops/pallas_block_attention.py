@@ -539,7 +539,7 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
 def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   bproj, num_frames: int,
                                   patches_per_frame: int, num_heads: int,
-                                  chunk: int = 64, save_stats: bool = False,
+                                  chunk: int = 128, save_stats: bool = False,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs)."""
