@@ -111,3 +111,69 @@ def test_sort_transformer_parity():
     params = merge_params(init["params"], loaded, strict=True)
     got = np.asarray(model.apply({"params": params}, jnp.asarray(text), jnp.asarray(video)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_text_tower_parity_openclip_module():
+    """H/14 text contract vs the REAL vendored OpenCLIP Transformer (nn.GELU
+    blocks, causal mask passed per call — model_dist_TVTSv2_ViT_H_14.py:134-149),
+    not the CLIP QuickGELU module the other tests use."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    # parent package shim so transformer.py's relative import resolves
+    if "OpenCLIP" not in sys.modules or not hasattr(sys.modules["OpenCLIP"], "__path__"):
+        from tests.conftest import _install_shims
+
+        _install_shims()
+    sys.modules["OpenCLIP"].__path__ = []
+    ref = load_reference_module("v2/OpenCLIP/transformer.py", "OpenCLIP.transformer")
+
+    width, layers, heads, ctx, vocab, out_dim = 64, 2, 4, 16, 120, 48
+    torch.manual_seed(5)
+    transformer = ref.Transformer(width=width, layers=layers, heads=heads,
+                                  act_layer=nn.GELU, norm_layer=ref.LayerNorm)
+    token_embedding = nn.Embedding(vocab, width)
+    positional_embedding = nn.Parameter(torch.randn(ctx, width) * 0.01)
+    ln_final = ref.LayerNorm(width)
+    text_projection = nn.Parameter(torch.randn(width, out_dim) * width ** -0.5)
+    mask = torch.empty(ctx, ctx).fill_(float("-inf")).triu_(1)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, vocab - 2, size=(3, ctx)).astype(np.int64)
+    ids[:, 0] = 1
+    for r in range(3):
+        ids[r, rng.integers(2, ctx)] = vocab - 1
+
+    with torch.no_grad():
+        x = token_embedding(torch.from_numpy(ids))
+        x = x + positional_embedding
+        x = x.permute(1, 0, 2)
+        x = transformer(x, attn_mask=mask)
+        x = x.permute(1, 0, 2)
+        x = ln_final(x)
+        want = (x[torch.arange(3), torch.from_numpy(ids).argmax(dim=-1)]
+                @ text_projection).numpy()
+
+    from tvts_tpu.models.text import TextTransformer
+    from tvts_tpu.models.configs import TextConfig
+
+    cfg = TextConfig(context_length=ctx, vocab_size=vocab, width=width,
+                     layers=layers, heads=heads, output_dim=out_dim, act="gelu")
+    model = TextTransformer(cfg)
+    ids32 = jnp.asarray(ids.astype(np.int32))
+    init = model.init(jax.random.PRNGKey(0), ids32)
+
+    sd = {f"text_model.{k}": v.detach().numpy()
+          for k, v in transformer.state_dict().items()}
+    sd["text_token_embedding.weight"] = token_embedding.weight.detach().numpy()
+    sd["text_positional_embedding"] = positional_embedding.detach().numpy()
+    sd.update({f"text_ln_final.{k}": v.detach().numpy()
+               for k, v in ln_final.state_dict().items()})
+    sd["text_projection"] = text_projection.detach().numpy()
+    loaded = convert_state_dict(sd)["text_model"]
+    params = merge_params(init["params"], loaded, strict=True)
+    got = np.asarray(model.apply({"params": params}, ids32))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
