@@ -37,11 +37,14 @@ def _space_ref(T, N, H):
 
 
 @pytest.mark.parametrize("shape", [(2, 3, 5, 32)])
-def test_space_subpath_grads(shape):
+@pytest.mark.parametrize("save_acts,bwd_mode", [(True, "xla"), (True, "pallas"),
+                                               (False, "pallas")])
+def test_space_subpath_grads(shape, save_acts, bwd_mode):
     B, T, N, D = shape
     H = 4
     args = _attn_args(0, B, T, N, D)
-    f = make_space_subpath(T, N, H, interpret=True)
+    f = make_space_subpath(T, N, H, save_acts=save_acts, bwd_mode=bwd_mode,
+                           interpret=True)
     ref = _space_ref(T, N, H)
 
     np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
@@ -98,14 +101,16 @@ def _time_ref(T, N, H):
 
 
 @pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4)])
-def test_time_subpath_grads(shape, chunk):
+@pytest.mark.parametrize("save_acts", [True, False])
+def test_time_subpath_grads(shape, chunk, save_acts):
     from tvts_tpu.ops.pallas_block_backward import make_time_subpath
 
     B, T, N, D = shape
     H = 4
     x, _, ln_s, ln_b, wqkv, bqkv, wproj, bproj = _attn_args(2, B, T, N, D)
     args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
-    f = make_time_subpath(T, N, H, chunk=chunk, interpret=True)
+    f = make_time_subpath(T, N, H, chunk=chunk, save_acts=save_acts,
+                          interpret=True)
     ref = _time_ref(T, N, H)
 
     np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),

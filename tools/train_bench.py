@@ -45,7 +45,9 @@ def main():
 
         apply_fn = make_fused_train_apply(
             model, cfg, num_frames=v.num_frames, n_keep=v.n_keep,
-            time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")))
+            time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
+            mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
+            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"))
         print("fused train path (Pallas fwd+bwd megakernels)")
     step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 

@@ -174,9 +174,16 @@ def _embed_stem(params, cfg, video, keep_ind, dtype):
 
 def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              dtype=jnp.bfloat16, time_chunk: int = 128,
-                             mlp_chunk: int = 256, interpret: bool = False):
-    """DIFFERENTIABLE fused tower forward: every block runs the three v2
-    megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward).
+                             mlp_chunk: int = 256, mlp_mode: str = "xla",
+                             space_mode: str = "pallas",
+                             interpret: bool = False):
+    """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
+    v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
+    the MLP sub-path runs as plain XLA by default — measured on v5e
+    (tools/bwd_split_probe.py, B=32 pretrain shapes) XLA's MLP fwd+bwd is
+    58.4 ms/12 blocks vs 92.8 for the Pallas pair, because XLA's backward
+    reuses the saved hidden activations while the kernel recomputes them.
+    mlp_mode="pallas" keeps the all-kernel path (lower activation memory).
     Shapes are fixed at factory time (num_frames, n_keep) as in training.
 
     Returns fn(params, video, keep_ind) -> (pooled, tokens)."""
@@ -188,10 +195,25 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
 
     time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                chunk=time_chunk, interpret=interpret)
-    space_f = make_space_subpath(num_frames, n_keep, cfg.heads,
+    if space_mode == "pallas":
+        space_f = make_space_subpath(num_frames, n_keep, cfg.heads,
+                                     interpret=interpret)
+    else:
+        def space_f(x, base, ln_s, ln_b, wq, bq, wp, bp):
+            p = {"qkv": {"kernel": wq, "bias": bq},
+                 "proj": {"kernel": wp, "bias": bp}}
+            ln = {"scale": ln_s, "bias": ln_b}
+            return base + _var_attention_xla(
+                _layernorm(x, ln), p, num_frames, n_keep, "space", cfg.heads)
+    if mlp_mode == "pallas":
+        mlp_f = make_mlp_subpath(act=cfg.act, chunk=mlp_chunk,
                                  interpret=interpret)
-    mlp_f = make_mlp_subpath(act=cfg.act, chunk=mlp_chunk,
-                             interpret=interpret)
+    else:
+        def mlp_f(x, ln_s, ln_b, wfc, bfc, wpr, bpr):
+            p = {"c_fc": {"kernel": wfc, "bias": bfc},
+                 "c_proj": {"kernel": wpr, "bias": bpr}}
+            ln = {"scale": ln_s, "bias": ln_b}
+            return x + _mlp(_layernorm(x, ln), p, cfg.act)
 
     def fwd(params, video, keep_ind=None):
         x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
@@ -224,12 +246,15 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
 
 def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
+                           mlp_mode: str = "xla", space_mode: str = "pallas",
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
     the flax module (cheap). Mirrors TVTSv2.__call__ (models/tvts_v2.py)."""
     tower_fwd = make_fused_train_forward(cfg.vision, num_frames, n_keep,
                                          dtype=dtype, time_chunk=time_chunk,
+                                         mlp_mode=mlp_mode,
+                                         space_mode=space_mode,
                                          interpret=interpret)
 
     def apply(params, batch):

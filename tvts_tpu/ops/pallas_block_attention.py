@@ -411,11 +411,15 @@ def _ln_fn(ln_s, ln_b):
 
 
 def _make_time_block_kernel_v2(H: int, T: int, N: int,
-                               save_stats: bool = False):
+                               save_stats: bool = False,
+                               save_acts: bool = False):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                o_ref, ocls_ref, *rest):
-        if save_stats:
+        if save_stats and save_acts:
+            (lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
             lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
         else:
             m_scr, l_scr, acc_scr = rest
@@ -450,6 +454,10 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         q = q.astype(dtype).reshape(T, Nc, D)
         k = k.astype(dtype).reshape(T, Nc, D)
         v = v.astype(dtype).reshape(T, Nc, D)
+        if save_acts:
+            q_ref[0] = q
+            k_ref[0] = k
+            v_ref[0] = v
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq)   # [1, D]
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -514,6 +522,8 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
 
         attn = jnp.concatenate(head_outs, axis=1)                  # [T, D, Nc]
         attn = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
+        if save_acts:
+            attn_ref[0] = attn.reshape(T, Nc, D)
         proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32) \
             + bproj_ref[:].astype(jnp.float32)
         o_ref[0] = (x_flat.astype(jnp.float32) + proj) \
@@ -540,9 +550,14 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   bproj, num_frames: int,
                                   patches_per_frame: int, num_heads: int,
                                   chunk: int = 128, save_stats: bool = False,
+                                  save_acts: bool = False,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
-    [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs)."""
+    [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
+
+    save_acts (with save_stats): also emits q/k/v and the pre-projection
+    attention output ([B,T,Np,D] each, q pre-scaled) so the backward skips
+    the re-projection matmuls and output recompute (see the space variant)."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     assert S == 1 + T * N
@@ -580,8 +595,11 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                    memory_space=pltpu.VMEM)]
         out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
                       jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+        if save_acts:
+            out_specs += [chunk_spec] * 4
+            out_shape += [jax.ShapeDtypeStruct((B, T, Np, D), x.dtype)] * 4
     outs = pl.pallas_call(
-        _make_time_block_kernel_v2(num_heads, T, N, save_stats),
+        _make_time_block_kernel_v2(num_heads, T, N, save_stats, save_acts),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
@@ -598,16 +616,22 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     out_p, out_cls = outs[0], outs[1]
     out = jnp.concatenate([out_cls,
                            out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+    if save_stats and save_acts:
+        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
     if save_stats:
         return out, outs[2], outs[3]
     return out
 
 
-def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False):
+def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False,
+                                save_acts: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                o_ref, ocls_ref, *rest):
-        if save_stats:
+        if save_stats and save_acts:
+            (lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
             lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
         else:
             m_scr, l_scr, acc_scr = rest
@@ -638,6 +662,10 @@ def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False):
         q = q.astype(dtype)
         k = k.astype(dtype)
         v = v.astype(dtype)
+        if save_acts:
+            q_ref[0, 0] = q
+            k_ref[0, 0] = k
+            v_ref[0, 0] = v
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq)
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -686,6 +714,8 @@ def _make_space_block_kernel_v2(H: int, T: int, save_stats: bool = False):
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
         attn_out = jnp.concatenate(outs, axis=-1)                      # [N, D]
+        if save_acts:
+            attn_ref[0, 0] = attn_out
         proj = jnp.dot(attn_out, wproj_ref[:],
                        preferred_element_type=jnp.float32) \
             + bproj_ref[:].astype(jnp.float32)
@@ -712,11 +742,18 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, bproj, num_frames: int,
                                    patches_per_frame: int, num_heads: int,
                                    save_stats: bool = False,
+                                   save_acts: bool = False,
                                    interpret: bool = False):
     """Whole space sub-path INCLUDING residual from `base`: returns
     base + spaceattn(ln(x)) as [B, S, D] (reference residual-from-block-input
     wiring, video_encoder_ViT_B_16.py:118-121). Self-contained like the time
-    v2 kernel."""
+    v2 kernel.
+
+    save_acts (with save_stats): additionally emits the patch-row q/k/v
+    ([B,T,N,D] each, q pre-scaled) and the pre-projection attention output,
+    so the backward kernel skips the three re-projection matmuls and the
+    attention-output recompute — for ~0.6 ms/block of extra HBM traffic at
+    B/16 pretrain sizes."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     assert S == 1 + T * N
@@ -750,8 +787,11 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                    memory_space=pltpu.VMEM)]
         out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
                       jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+        if save_acts:
+            out_specs += [frame_spec] * 4
+            out_shape += [jax.ShapeDtypeStruct((B, T, N, D), x.dtype)] * 4
     outs = pl.pallas_call(
-        _make_space_block_kernel_v2(num_heads, T, save_stats),
+        _make_space_block_kernel_v2(num_heads, T, save_stats, save_acts),
         grid=(B, T),
         in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
@@ -768,6 +808,8 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
       ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
       bproj.reshape(1, D))
     out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
+    if save_stats and save_acts:
+        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
     if save_stats:
         return out, outs[2], outs[3]
     return out

@@ -45,14 +45,21 @@ def _ln_bwd(dxln, xhat, rstd, ln_s):
     return (dxhat - m1 - xhat * m2) * rstd
 
 
-def _make_space_bwd_kernel(H: int):
+def _make_space_bwd_kernel(H: int, use_saved: bool = False):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
-               lse_ref, acls_ref,
-               dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
-               dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
-               dqc_scr, dck_scr, dcv_scr):
-        """Grid (B, T), t minor. One frame's backward + CLS-row accumulation."""
+               lse_ref, acls_ref, *rest):
+        """Grid (B, T), t minor. One frame's backward + CLS-row accumulation.
+
+        use_saved: q/k/v and the pre-projection attention output come from
+        the forward kernel's saved outputs instead of being recomputed
+        (skips 3 [N,D]x[D,D] matmuls + the attention-output pass)."""
+        if use_saved:
+            q_ref, k_ref, v_ref, attn_ref = rest[:4]
+            rest = rest[4:]
+        (dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
+         dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
         N = x_ref.shape[2]
         D = x_ref.shape[3]
         d = D // H
@@ -84,13 +91,18 @@ def _make_space_bwd_kernel(H: int):
         x_ln = x_ln_f.astype(dtype)
         cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
         cls_ln = cls_ln_f.astype(dtype)
-        q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
-                      preferred_element_type=jnp.float32) + bq) * scale) \
-            .astype(dtype)
-        k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
-                     preferred_element_type=jnp.float32) + bk).astype(dtype)
-        v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
-                     preferred_element_type=jnp.float32) + bv).astype(dtype)
+        if use_saved:
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+        else:
+            q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
+                          preferred_element_type=jnp.float32) + bq) * scale) \
+                .astype(dtype)
+            k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                         preferred_element_type=jnp.float32) + bk).astype(dtype)
+            v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                         preferred_element_type=jnp.float32) + bv).astype(dtype)
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq) * scale
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -125,10 +137,11 @@ def _make_space_bwd_kernel(H: int):
             denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
             pn = p / denom                                    # [N, N] fp32
             pn_cls = p_cls / denom                            # [N, 1]
-            oh = jnp.dot(pn.astype(dtype), vh,
-                         preferred_element_type=jnp.float32) \
-                + pn_cls * vch
-            head_outs.append(oh.astype(dtype))
+            if not use_saved:
+                oh = jnp.dot(pn.astype(dtype), vh,
+                             preferred_element_type=jnp.float32) \
+                    + pn_cls * vch
+                head_outs.append(oh.astype(dtype))
 
             dout = dattn[:, sl]                               # [N, d] fp32
             dout_b = dout.astype(dtype)
@@ -178,7 +191,8 @@ def _make_space_bwd_kernel(H: int):
             dks.append(dk_h)
             dvs.append(dv_h)
 
-        attn_out = jnp.concatenate(head_outs, axis=-1)        # [N, D]
+        attn_out = attn_ref[0, 0] if use_saved \
+            else jnp.concatenate(head_outs, axis=-1)          # [N, D]
         dwproj_ref[...] += jnp.dot(attn_out.T, g_p,
                                    preferred_element_type=jnp.float32)
         dbproj_ref[...] += jnp.sum(g_p.astype(jnp.float32), axis=0,
@@ -247,6 +261,7 @@ def _make_space_bwd_kernel(H: int):
 def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                        wproj, lse, attn_cls, num_frames: int,
                                        patches_per_frame: int, num_heads: int,
+                                       acts_saved=None,
                                        interpret: bool = False):
     """Backward of the space sub-path (w.r.t. the ATTENTION input x; the
     residual-base grad is just g and is added by the caller). Returns
@@ -272,12 +287,14 @@ def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
     lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, t: (b, 0, 0),
                             memory_space=pltpu.SMEM)
 
+    extra_in_specs = [frame_spec] * 4 if acts_saved is not None else []
+    extra_ins = tuple(acts_saved) if acts_saved is not None else ()
     outs = pl.pallas_call(
-        _make_space_bwd_kernel(num_heads),
+        _make_space_bwd_kernel(num_heads, use_saved=acts_saved is not None),
         grid=(B, T),
         in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
-                  wproj_spec, lse_spec, cls_spec],
+                  wproj_spec, lse_spec, cls_spec] + extra_in_specs,
         out_specs=(frame_spec, cls_spec, wqkv_spec, vec_spec, vec_spec,
                    vec_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
@@ -296,21 +313,108 @@ def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse,
-      attn_cls.reshape(B, 1, D))
+      attn_cls.reshape(B, 1, D), *extra_ins)
     (dx_p, dx_cls, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
     dx = jnp.concatenate([dx_cls, dx_p.reshape(B, T * N, D)], axis=1)
     dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]])
     return dx, dls[0], dlb[0], dwqkv, dbqkv, dwproj, dbproj[0]
 
 
+def _ln_fwd_batched(x, ln_s, ln_b, eps=1e-5):
+    """LN over [..., D]; returns (x_ln fp32, xhat, rstd)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    return xhat * ln_s + ln_b, xhat, rstd
+
+
+def _attn_subpath_bwd_xla(g, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                          q, k, v, num_frames: int, patches_per_frame: int,
+                          num_heads: int, mode: str):
+    """Batched-XLA backward of an attention sub-path, fed by the forward
+    kernel's saved q/k/v (pre-scaled q, patch rows only).
+
+    The attention-core gradient comes from jax.vjp of the shared
+    divided_space_time_attention (ops/attention.py) — big batched einsums the
+    TPU compiler schedules well — while the linear-layer and LayerNorm grads
+    are written out explicitly. Probabilities are recomputed transiently
+    inside this backward (per block), so nothing quadratic is stored across
+    the model the way the all-XLA train path does."""
+    from tvts_tpu.ops.attention import divided_space_time_attention, merge_heads, split_heads
+
+    B, S, D = x.shape
+    T, N, H = num_frames, patches_per_frame, num_heads
+    d = D // H
+    scale = jnp.asarray(d, jnp.float32) ** -0.5
+    dtype = q.dtype
+
+    x_ln_f, xhat, rstd = _ln_fwd_batched(
+        x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+    x_ln = x_ln_f.astype(dtype)
+    # CLS q/k/v recomputed from the CLS row (one [B,1,3D] projection)
+    qkv_c = x_ln[:, :1] @ wqkv.astype(dtype) + bqkv.astype(dtype)
+    qc, kc, vc = jnp.split(qkv_c, 3, axis=-1)
+    qc = qc * scale.astype(dtype)
+    q_full = jnp.concatenate([qc, q.reshape(B, T * N, D)], axis=1)
+    k_full = jnp.concatenate([kc, k.reshape(B, T * N, D)], axis=1)
+    v_full = jnp.concatenate([vc, v.reshape(B, T * N, D)], axis=1)
+
+    def attn_fn(q2, k2, v2):
+        return merge_heads(divided_space_time_attention(
+            split_heads(q2, H), split_heads(k2, H), split_heads(v2, H),
+            T, N, mode))
+
+    attn_out, attn_vjp = jax.vjp(attn_fn, q_full, k_full, v_full)
+
+    g2 = g.reshape(B * S, D)
+    dattn = (g @ wproj.astype(g.dtype).T).astype(dtype)
+    dwproj = jnp.einsum("sd,se->de", attn_out.reshape(B * S, D).astype(g.dtype),
+                        g2, preferred_element_type=jnp.float32)
+    dbproj = jnp.sum(g2.astype(jnp.float32), axis=0)
+
+    dq, dk, dv = attn_vjp(dattn)
+    dqkv = jnp.concatenate([dq * scale.astype(dq.dtype), dk, dv], axis=-1)
+    dwqkv = jnp.einsum("sd,se->de", x_ln.reshape(B * S, D),
+                       dqkv.reshape(B * S, 3 * D),
+                       preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32).reshape(B * S, 3 * D), axis=0)
+    dxln = (dqkv @ wqkv.astype(dqkv.dtype).T).astype(jnp.float32)
+    dls = jnp.sum(dxln * xhat, axis=(0, 1))
+    dlb = jnp.sum(dxln, axis=(0, 1))
+    dxhat = dxln * ln_scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = ((dxhat - m1 - xhat * m2) * rstd).astype(x.dtype)
+    return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
+
+
 def make_space_subpath(num_frames: int, patches_per_frame: int,
-                       num_heads: int, interpret: bool = False):
-    """Differentiable fused space sub-path: Pallas forward AND backward.
+                       num_heads: int, save_acts: bool = True,
+                       bwd_mode: str = "pallas",
+                       interpret: bool = False):
+    """Differentiable fused space sub-path: Pallas forward, choice of backward.
 
     f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) ->
-    base + SpaceAttn(LN(x)) @ wproj + bproj."""
+    base + SpaceAttn(LN(x)) @ wproj + bproj.
+
+    save_acts: the forward emits q/k/v + the pre-projection attention output
+    and the backward consumes them instead of recomputing (default; costs
+    4x[B,S,D] bf16 of residual memory per block). Set False to trade speed
+    for activation memory (pure flash-style recompute).
+
+    bwd_mode: "pallas" (default) keeps the backward in the kernel.
+    "xla" composes the backward from batched einsums over the saved q/k/v —
+    tried and MEASURED SLOWER in context on v5e (141 vs 110 ms per 12 blocks
+    at B=32, tools/bwd_split_probe.py): the [B,H,S,d=64] head split inflates
+    physical tiles 2.67x and the vjp replays the attention forward, which
+    together cost more than the kernel's per-head math. Kept as an option
+    because it stores no per-head state and exercises the shared
+    divided_space_time_attention path."""
 
     T, N, H = num_frames, patches_per_frame, num_heads
+    use_xla_bwd = bwd_mode == "xla" and save_acts
 
     @jax.custom_vjp
     def f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
@@ -320,19 +424,32 @@ def make_space_subpath(num_frames: int, patches_per_frame: int,
             interpret=interpret)
 
     def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
-        out, lse, acls = fused_space_attention_block_v2(
+        outs = fused_space_attention_block_v2(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, save_stats=True,
-            interpret=interpret)
-        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls)
+            save_acts=save_acts, interpret=interpret)
+        if save_acts:
+            out, lse, acls, q, k, v, attn = outs
+            acts_saved = (q, k, v, attn)
+        else:
+            out, lse, acls = outs
+            acts_saved = None
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                     acts_saved)
 
     def bwd(res, g):
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls = res
-        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
-            fused_space_attention_block_v2_bwd(
-                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
-                num_frames=T, patches_per_frame=N, num_heads=H,
-                interpret=interpret)
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts_saved = res
+        if use_xla_bwd:
+            q, k, v = acts_saved[:3]
+            dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _attn_subpath_bwd_xla(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, q, k, v,
+                num_frames=T, patches_per_frame=N, num_heads=H, mode="space")
+        else:
+            dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+                fused_space_attention_block_v2_bwd(
+                    g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                    num_frames=T, patches_per_frame=N, num_heads=H,
+                    acts_saved=acts_saved, interpret=interpret)
         return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
@@ -341,15 +458,21 @@ def make_space_subpath(num_frames: int, patches_per_frame: int,
     return f
 
 
-def _make_time_bwd_kernel(H: int, T: int, N: int):
+def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
-               lse_ref, acls_ref,
-               dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
-               dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
-               dqc_scr, dck_scr, dcv_scr):
+               lse_ref, acls_ref, *rest):
         """Grid (B, C), c minor. Backward of the TIME sub-path chunk; the
-        forward folds the residual (o = x + proj), so dx = g + LN-path."""
+        forward folds the residual (o = x + proj), so dx = g + LN-path.
+
+        use_saved: q/k/v and the pre-projection attention output loaded from
+        the forward's saved outputs instead of recomputed."""
+        if use_saved:
+            q_ref, k_ref, v_ref, attn_ref = rest[:4]
+            rest = rest[4:]
+        (dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
+         dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
         Nc = x_ref.shape[2]
         D = x_ref.shape[3]
         d = D // H
@@ -381,15 +504,20 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
         x_ln = x_ln_f.astype(dtype)
         cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
         cls_ln = cls_ln_f.astype(dtype)
-        q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
-                      preferred_element_type=jnp.float32) + bq) * scale) \
-            .astype(dtype).reshape(T, Nc, D)
-        k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
-                     preferred_element_type=jnp.float32) + bk) \
-            .astype(dtype).reshape(T, Nc, D)
-        v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
-                     preferred_element_type=jnp.float32) + bv) \
-            .astype(dtype).reshape(T, Nc, D)
+        if use_saved:
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+        else:
+            q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
+                          preferred_element_type=jnp.float32) + bq) * scale) \
+                .astype(dtype).reshape(T, Nc, D)
+            k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                         preferred_element_type=jnp.float32) + bk) \
+                .astype(dtype).reshape(T, Nc, D)
+            v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                         preferred_element_type=jnp.float32) + bv) \
+                .astype(dtype).reshape(T, Nc, D)
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq) * scale
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -434,9 +562,10 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
                 p = jnp.exp(full - m)
                 denom = jnp.sum(p, axis=0, keepdims=True)
                 pn = p / denom                                # [T+1, Nc]
-                out_t = jnp.sum(pn[1:][:, None, :] * vh, axis=0) \
-                    + pn[0][None, :] * vch[:, None]           # [d, Nc]
-                outs_t.append(out_t.astype(dtype))
+                if not use_saved:
+                    out_t = jnp.sum(pn[1:][:, None, :] * vh, axis=0) \
+                        + pn[0][None, :] * vch[:, None]       # [d, Nc]
+                    outs_t.append(out_t.astype(dtype))
 
                 dout_t = douth[t]                             # [d, Nc]
                 dv_h = dv_h + pn[1:][:, None, :] * dout_t[None]
@@ -473,13 +602,17 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
                 dqc_scr[h, :] += ds_self * kch
                 dck_scr[h, :] += ds_self * qch
 
-            attn_heads.append(jnp.stack(outs_t))              # [T, d, Nc]
+            if not use_saved:
+                attn_heads.append(jnp.stack(outs_t))          # [T, d, Nc]
             dq_heads.append(dq_h)
             dk_heads.append(dk_h)
             dv_heads.append(dv_h)
 
-        attn = jnp.concatenate(attn_heads, axis=1)            # [T, D, Nc]
-        attn_flat = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
+        if use_saved:
+            attn_flat = attn_ref[0].reshape(T * Nc, D)
+        else:
+            attn = jnp.concatenate(attn_heads, axis=1)        # [T, D, Nc]
+            attn_flat = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
         dwproj_ref[...] += jnp.dot(attn_flat.T.astype(dtype),
                                    g_flat.astype(dtype),
                                    preferred_element_type=jnp.float32)
@@ -553,7 +686,7 @@ def _make_time_bwd_kernel(H: int, T: int, N: int):
 def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                       wproj, lse, attn_cls, num_frames: int,
                                       patches_per_frame: int, num_heads: int,
-                                      chunk: int = 64,
+                                      chunk: int = 64, acts_saved=None,
                                       interpret: bool = False):
     """Backward of the time sub-path (residual folded: returns the FULL dx)."""
     B, S, D = x.shape
@@ -583,12 +716,15 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
     lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, c: (b, 0, 0),
                             memory_space=pltpu.SMEM)
 
+    extra_in_specs = [chunk_spec] * 4 if acts_saved is not None else []
+    extra_ins = tuple(acts_saved) if acts_saved is not None else ()
     outs = pl.pallas_call(
-        _make_time_bwd_kernel(num_heads, T, N),
+        _make_time_bwd_kernel(num_heads, T, N,
+                              use_saved=acts_saved is not None),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, chunk_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
-                  wproj_spec, lse_spec, cls_spec],
+                  wproj_spec, lse_spec, cls_spec] + extra_in_specs,
         out_specs=(chunk_spec, cls_spec, wqkv_spec, vec_spec, vec_spec,
                    vec_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
@@ -606,7 +742,8 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
-      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse, attn_cls.reshape(B, 1, D))
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse, attn_cls.reshape(B, 1, D),
+      *extra_ins)
     (dx_p, dx_cls, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
     dx = jnp.concatenate([dx_cls, dx_p[:, :, :N].reshape(B, T * N, D)], axis=1)
     dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]])
@@ -614,9 +751,12 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
 
 def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
-                      chunk: int = 64, interpret: bool = False):
+                      chunk: int = 64, save_acts: bool = True,
+                      interpret: bool = False):
     """Differentiable fused time sub-path (residual included):
-    f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + TimeAttn path."""
+    f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + TimeAttn path.
+
+    save_acts: see make_space_subpath."""
     T, N, H = num_frames, patches_per_frame, num_heads
 
     @jax.custom_vjp
@@ -626,19 +766,26 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
             patches_per_frame=N, num_heads=H, chunk=chunk, interpret=interpret)
 
     def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
-        out, lse, acls = fused_time_attention_block_v2(
+        outs = fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
             patches_per_frame=N, num_heads=H, chunk=chunk, save_stats=True,
-            interpret=interpret)
-        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls)
+            save_acts=save_acts, interpret=interpret)
+        if save_acts:
+            out, lse, acls, q, k, v, attn = outs
+            acts_saved = (q, k, v, attn)
+        else:
+            out, lse, acls = outs
+            acts_saved = None
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                     acts_saved)
 
     def bwd(res, g):
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls = res
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts_saved = res
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
             fused_time_attention_block_v2_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
                 num_frames=T, patches_per_frame=N, num_heads=H, chunk=chunk,
-                interpret=interpret)
+                acts_saved=acts_saved, interpret=interpret)
         return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
