@@ -318,6 +318,22 @@ def fused_time_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     return out
 
 
+def _erf(x):
+    """fp32 erf via the Abramowitz-Stegun 7.1.26 polynomial (|err| < 1.5e-7).
+
+    Mosaic's TPU lowering implements neither erfc nor erf (hit on real
+    hardware with the H/14 exact-gelu config; interpret mode accepted
+    lax.erf, which hid it), so exact-gelu kernels use this polynomial —
+    well inside bf16 resolution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _make_mlp_kernel(act: str):
     def kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref, wproj_ref,
                bproj_ref, o_ref):
@@ -336,9 +352,9 @@ def _make_mlp_kernel(act: str):
         if act == "quick_gelu":
             h = h * jax.nn.sigmoid(1.702 * h)
         else:
-            # exact gelu via erf (jax.nn.gelu lowers to erfc, which Mosaic
-            # does not implement)
-            h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+            # exact gelu via the _erf polynomial (Mosaic implements neither
+            # erfc nor erf)
+            h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
         out = jnp.dot(h.astype(x.dtype), wproj_ref[:],
                       preferred_element_type=jnp.float32) \
             + bproj_ref[:].astype(jnp.float32)
@@ -828,9 +844,9 @@ def _act_and_grad(act: str, h):
     if act == "quick_gelu":
         s = jax.nn.sigmoid(1.702 * h)
         return h * s, s + 1.702 * h * s * (1.0 - s)
-    # exact gelu
+    # exact gelu (erf via the Mosaic-lowerable polynomial)
     phi = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-    cdf = 0.5 * (1.0 + jax.lax.erf(h / jnp.sqrt(2.0)))
+    cdf = 0.5 * (1.0 + _erf(h / jnp.sqrt(2.0)))
     return h * cdf, cdf + h * phi
 
 

@@ -45,11 +45,14 @@ def _ln_bwd(dxln, xhat, rstd, ln_s):
     return (dxhat - m1 - xhat * m2) * rstd
 
 
-def _make_space_bwd_kernel(H: int, use_saved: bool = False):
+def _make_space_bwd_kernel(H: int, use_saved: bool = False, FPP: int = 1):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
                lse_ref, acls_ref, *rest):
-        """Grid (B, T), t minor. One frame's backward + CLS-row accumulation.
+        """Grid (B, T // FPP), t minor. FPP frames' backward per program +
+        CLS-row accumulation. Batching frames amortizes the per-program
+        fixed work (CLS reprojection, grid/DMA overhead) and turns the
+        weight-gradient contractions into [FPP*N, D]-row matmuls.
 
         use_saved: q/k/v and the pre-projection attention output come from
         the forward kernel's saved outputs instead of being recomputed
@@ -86,23 +89,26 @@ def _make_space_bwd_kernel(H: int, use_saved: bool = False):
         bv = bv_ref[:].astype(jnp.float32)
         scale = jnp.asarray(d, jnp.float32) ** -0.5
 
-        # ---- recompute forward intermediates -------------------------------
-        x_ln_f, xhat, rstd = _ln_fwd(x_ref[0, 0], ln_s, ln_b)
+        # ---- recompute forward intermediates (all FPP frames at once) ------
+        x_flat = x_ref[0].reshape(FPP * N, D)
+        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b)
         x_ln = x_ln_f.astype(dtype)
         cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
         cls_ln = cls_ln_f.astype(dtype)
         if use_saved:
-            q = q_ref[0, 0]
-            k = k_ref[0, 0]
-            v = v_ref[0, 0]
+            q4 = q_ref[0]                                      # [FPP, N, D]
+            k4 = k_ref[0]
+            v4 = v_ref[0]
         else:
-            q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
-                          preferred_element_type=jnp.float32) + bq) * scale) \
-                .astype(dtype)
-            k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
-                         preferred_element_type=jnp.float32) + bk).astype(dtype)
-            v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
-                         preferred_element_type=jnp.float32) + bv).astype(dtype)
+            q4 = ((jnp.dot(x_ln, wqkv_ref[:, :D],
+                           preferred_element_type=jnp.float32) + bq) * scale) \
+                .astype(dtype).reshape(FPP, N, D)
+            k4 = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                          preferred_element_type=jnp.float32) + bk) \
+                .astype(dtype).reshape(FPP, N, D)
+            v4 = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                          preferred_element_type=jnp.float32) + bv) \
+                .astype(dtype).reshape(FPP, N, D)
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq) * scale
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -110,97 +116,113 @@ def _make_space_bwd_kernel(H: int, use_saved: bool = False):
         vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
                      preferred_element_type=jnp.float32) + bv
 
-        g_p = g_ref[0, 0]                                     # [N, D] dtype
-        dattn = jnp.dot(g_p, wproj_ref[:].T,
-                        preferred_element_type=jnp.float32)   # [N, D] fp32
+        g_flat = g_ref[0].reshape(FPP * N, D)                 # dtype
+        dattn_all = jnp.dot(g_flat, wproj_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        dattn4 = dattn_all.reshape(FPP, N, D)
         gcls = gcls_ref[0]                                    # [1, D]
         dattn_cls = jnp.dot(gcls, wproj_ref[:].T,
                             preferred_element_type=jnp.float32)  # [1, D]
         acls = acls_ref[0]                                    # [1, D] fp32
 
-        head_outs = []
-        dqs, dks, dvs = [], [], []
-        for h in range(H):
-            sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-            kch = kc[:, sl]                                   # [1, d] fp32
-            vch = vc[:, sl]
-            qch = qc[:, sl]
-            lse_h = lse_ref[0, 0, h]
+        frame_outs = []          # per frame: [N, D] attention output (recomp)
+        frame_dq, frame_dk, frame_dv = [], [], []
+        for f in range(FPP):
+            q, k, v = q4[f], k4[f], v4[f]
+            dattn = dattn4[f]
+            head_outs = []
+            dqs, dks, dvs = [], [], []
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+                kch = kc[:, sl]                               # [1, d] fp32
+                vch = vc[:, sl]
+                qch = qc[:, sl]
+                lse_h = lse_ref[0, 0, h]
 
-            logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-            cls_logit = jnp.dot(qh, kch.astype(dtype).T,
-                                preferred_element_type=jnp.float32)  # [N,1]
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), cls_logit)
-            p = jnp.exp(logits - m)
-            p_cls = jnp.exp(cls_logit - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-            pn = p / denom                                    # [N, N] fp32
-            pn_cls = p_cls / denom                            # [N, 1]
+                logits = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+                cls_logit = jnp.dot(qh, kch.astype(dtype).T,
+                                    preferred_element_type=jnp.float32)  # [N,1]
+                m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                                cls_logit)
+                p = jnp.exp(logits - m)
+                p_cls = jnp.exp(cls_logit - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+                pn = p / denom                                # [N, N] fp32
+                pn_cls = p_cls / denom                        # [N, 1]
+                if not use_saved:
+                    oh = jnp.dot(pn.astype(dtype), vh,
+                                 preferred_element_type=jnp.float32) \
+                        + pn_cls * vch
+                    head_outs.append(oh.astype(dtype))
+
+                dout = dattn[:, sl]                           # [N, d] fp32
+                dout_b = dout.astype(dtype)
+                pn_b = pn.astype(dtype)
+                # value grads
+                dv_h = jnp.dot(pn_b.T, dout_b,
+                               preferred_element_type=jnp.float32)
+                dcv_scr[h, :] += jnp.sum(pn_cls * dout, axis=0)
+                # prob grads + softmax bwd
+                dp = jnp.dot(dout_b, vh.T, preferred_element_type=jnp.float32)
+                dp_cls = jnp.sum(dout * vch, axis=-1, keepdims=True)  # [N,1]
+                rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
+                    + pn_cls * dp_cls
+                ds = pn * (dp - rowsum)                       # [N, N] fp32
+                ds_cls = pn_cls * (dp_cls - rowsum)           # [N, 1]
+                ds_b = ds.astype(dtype)
+                dq_h = jnp.dot(ds_b, kh, preferred_element_type=jnp.float32) \
+                    + ds_cls * kch
+                dk_h = jnp.dot(ds_b.T, qh, preferred_element_type=jnp.float32)
+                dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(jnp.float32),
+                                         axis=0)
+
+                # ---- CLS row contribution from this frame's keys -----------
+                dout_c = dattn_cls[:, sl]                     # [1, d] fp32
+                delta_h = jnp.sum(acls[:, sl] * dout_c)
+                lrow = jnp.dot(kh.astype(jnp.float32), qch.T,
+                               preferred_element_type=jnp.float32)  # [N, 1]
+                pn_row = jnp.exp(lrow - lse_h)                # [N, 1]
+                dv_h = dv_h + pn_row * dout_c
+                dp_row = jnp.sum(vh.astype(jnp.float32) * dout_c, axis=-1,
+                                 keepdims=True)               # [N, 1]
+                ds_row = pn_row * (dp_row - delta_h)          # [N, 1]
+                dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(jnp.float32),
+                                         axis=0)
+                dk_h = dk_h + ds_row * qch
+
+                # CLS self term (exactly once per batch element)
+                if f == 0:
+                    @pl.when(t == 0)
+                    def _self(h=h, sl=sl, qch=qch, kch=kch, vch=vch,
+                              dout_c=dout_c, delta_h=delta_h, lse_h=lse_h):
+                        p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
+                        dcv_scr[h, :] += p_self * dout_c[0]
+                        dp_self = jnp.sum(vch * dout_c)
+                        ds_self = p_self * (dp_self - delta_h)
+                        dqc_scr[h, :] += ds_self * kch[0]
+                        dck_scr[h, :] += ds_self * qch[0]
+
+                dqs.append(dq_h)
+                dks.append(dk_h)
+                dvs.append(dv_h)
+
             if not use_saved:
-                oh = jnp.dot(pn.astype(dtype), vh,
-                             preferred_element_type=jnp.float32) \
-                    + pn_cls * vch
-                head_outs.append(oh.astype(dtype))
+                frame_outs.append(jnp.concatenate(head_outs, axis=-1))
+            frame_dq.append(jnp.concatenate(dqs, axis=-1))    # [N, D] fp32
+            frame_dk.append(jnp.concatenate(dks, axis=-1))
+            frame_dv.append(jnp.concatenate(dvs, axis=-1))
 
-            dout = dattn[:, sl]                               # [N, d] fp32
-            dout_b = dout.astype(dtype)
-            pn_b = pn.astype(dtype)
-            # value grads
-            dv_h = jnp.dot(pn_b.T, dout_b,
-                           preferred_element_type=jnp.float32)
-            dcv_scr[h, :] += jnp.sum(pn_cls * dout, axis=0)
-            # prob grads + softmax bwd
-            dp = jnp.dot(dout_b, vh.T, preferred_element_type=jnp.float32)
-            dp_cls = jnp.sum(dout * vch, axis=-1, keepdims=True)  # [N,1]
-            rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
-                + pn_cls * dp_cls
-            ds = pn * (dp - rowsum)                           # [N, N] fp32
-            ds_cls = pn_cls * (dp_cls - rowsum)               # [N, 1]
-            ds_b = ds.astype(dtype)
-            dq_h = jnp.dot(ds_b, kh, preferred_element_type=jnp.float32) \
-                + ds_cls * kch
-            dk_h = jnp.dot(ds_b.T, qh, preferred_element_type=jnp.float32)
-            dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(jnp.float32), axis=0)
-
-            # ---- CLS row contribution from this frame's keys ---------------
-            dout_c = dattn_cls[:, sl]                         # [1, d] fp32
-            delta_h = jnp.sum(acls[:, sl] * dout_c)
-            lrow = jnp.dot(kh.astype(jnp.float32), qch.T,
-                           preferred_element_type=jnp.float32)  # [N, 1]
-            pn_row = jnp.exp(lrow - lse_h)                    # [N, 1]
-            dv_h = dv_h + pn_row * dout_c
-            dp_row = jnp.sum(vh.astype(jnp.float32) * dout_c, axis=-1,
-                             keepdims=True)                   # [N, 1]
-            ds_row = pn_row * (dp_row - delta_h)              # [N, 1]
-            dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(jnp.float32), axis=0)
-            dk_h = dk_h + ds_row * qch
-
-            # CLS self term (exactly once per batch element)
-            @pl.when(t == 0)
-            def _self(h=h, sl=sl, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
-                      delta_h=delta_h, lse_h=lse_h):
-                p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
-                dcv_scr[h, :] += p_self * dout_c[0]
-                dp_self = jnp.sum(vch * dout_c)
-                ds_self = p_self * (dp_self - delta_h)
-                dqc_scr[h, :] += ds_self * kch[0]
-                dck_scr[h, :] += ds_self * qch[0]
-
-            dqs.append(dq_h)
-            dks.append(dk_h)
-            dvs.append(dv_h)
-
-        attn_out = attn_ref[0, 0] if use_saved \
-            else jnp.concatenate(head_outs, axis=-1)          # [N, D]
-        dwproj_ref[...] += jnp.dot(attn_out.T, g_p,
+        attn_out = attn_ref[0].reshape(FPP * N, D) if use_saved \
+            else jnp.concatenate(frame_outs, axis=0)          # [FPP*N, D]
+        dwproj_ref[...] += jnp.dot(attn_out.T, g_flat,
                                    preferred_element_type=jnp.float32)
-        dbproj_ref[...] += jnp.sum(g_p.astype(jnp.float32), axis=0,
+        dbproj_ref[...] += jnp.sum(g_flat.astype(jnp.float32), axis=0,
                                    keepdims=True)
 
-        dq = jnp.concatenate(dqs, axis=-1) * scale            # [N, D] fp32
-        dk = jnp.concatenate(dks, axis=-1)
-        dv = jnp.concatenate(dvs, axis=-1)
+        dq = jnp.concatenate(frame_dq, axis=0) * scale        # [FPP*N, D] f32
+        dk = jnp.concatenate(frame_dk, axis=0)
+        dv = jnp.concatenate(frame_dv, axis=0)
         dq_b, dk_b, dv_b = (dq.astype(dtype), dk.astype(dtype),
                             dv.astype(dtype))
         x_ln_t = x_ln.T
@@ -222,9 +244,10 @@ def _make_space_bwd_kernel(H: int, use_saved: bool = False):
                       preferred_element_type=jnp.float32)
         dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
         dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
-        dx_ref[0, 0] = _ln_bwd(dxln, xhat, rstd, ln_s).astype(dx_ref.dtype)
+        dx_ref[0] = _ln_bwd(dxln, xhat, rstd, ln_s) \
+            .reshape(FPP, N, D).astype(dx_ref.dtype)
 
-        # ---- CLS token assembly at the last frame --------------------------
+        # ---- CLS token assembly at the last program -------------------------
         @pl.when(t == pl.num_programs(1) - 1)
         def _finish_cls():
             dqc_rows = [dqc_scr[h:h + 1, :] for h in range(H)]
@@ -261,21 +284,30 @@ def _make_space_bwd_kernel(H: int, use_saved: bool = False):
 def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                        wproj, lse, attn_cls, num_frames: int,
                                        patches_per_frame: int, num_heads: int,
-                                       acts_saved=None,
+                                       acts_saved=None, fpp: int | None = None,
                                        interpret: bool = False):
     """Backward of the space sub-path (w.r.t. the ATTENTION input x; the
     residual-base grad is just g and is added by the caller). Returns
-    (dx [B,S,D], dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj)."""
+    (dx [B,S,D], dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj).
+
+    fpp: frames per program. Default 1 — measured BEST on v5e at B/16
+    pretrain sizes: fpp=6 gave 75.3 clips/s vs 76.5 at fpp=1 (batching
+    frames raises VMEM pressure and does not help; the backward is bound by
+    the per-head math, not per-program overhead), and fpp=12 fails to
+    compile (103.7 MB scoped VMEM vs the 100 MB limit). The knob stays for
+    other geometries."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     d = D // num_heads
     assert S == 1 + T * N
+    if fpp is None or T % fpp != 0:
+        fpp = 1
 
     g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
     x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
     b3 = bqkv.reshape(3, D)
 
-    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+    frame_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
                               memory_space=pltpu.VMEM)
     cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -290,8 +322,9 @@ def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
     extra_in_specs = [frame_spec] * 4 if acts_saved is not None else []
     extra_ins = tuple(acts_saved) if acts_saved is not None else ()
     outs = pl.pallas_call(
-        _make_space_bwd_kernel(num_heads, use_saved=acts_saved is not None),
-        grid=(B, T),
+        _make_space_bwd_kernel(num_heads, use_saved=acts_saved is not None,
+                               FPP=fpp),
+        grid=(B, T // fpp),
         in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
                   wproj_spec, lse_spec, cls_spec] + extra_in_specs,
