@@ -60,6 +60,28 @@ def test_space_subpath_grads(shape, save_acts, bwd_mode):
                                    rtol=2e-3, err_msg=n)
 
 
+@pytest.mark.parametrize("shape", [(2, 3, 5, 32)])
+def test_space_subpath_v3_grads(shape):
+    """d-major head-batched variant (the training default)."""
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v3
+
+    B, T, N, D = shape
+    H = 4
+    args = _attn_args(3, B, T, N, D)
+    f = make_space_subpath_v3(T, N, H, interpret=True)
+    ref = _space_ref(T, N, H)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
 def test_mlp_subpath_grads_gelu():
     rng = np.random.default_rng(1)
     B, S, D, Hd = 2, 21, 32, 128

@@ -196,6 +196,14 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
     time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                chunk=time_chunk, interpret=interpret)
     if space_mode == "pallas":
+        # v3 d-major head-batched kernels: space sub-path fwd+bwd measured
+        # 145.1 vs 167.2 ms/12 blocks for the per-head v2 pair at B=32
+        # pretrain shapes (tools/bwd_split_probe.py table in PERF.md)
+        from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v3
+
+        space_f = make_space_subpath_v3(num_frames, n_keep, cfg.heads,
+                                        interpret=interpret)
+    elif space_mode == "pallas_v2":
         space_f = make_space_subpath(num_frames, n_keep, cfg.heads,
                                      interpret=interpret)
     else:

@@ -988,3 +988,201 @@ def make_mlp_subpath(act: str = "quick_gelu", chunk: int = 256,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# v3 SPACE kernel: d-major, head-batched.
+#
+# The v2 kernel loops over heads with LANE-offset slices of [N, D] tensors.
+# Mosaic cannot batch that form: lane-splitting reshapes ([N,D]->[N,H,d]) are
+# "unsupported shape cast" and lane-offset slices cannot feed concat/stack.
+# v3 works in the TRANSPOSED domain instead: activations are [D, N] (tokens in
+# lanes), so heads split on SUBLANES ([D,N] -> [H,d,N] is a supported
+# leading-dim reshape) and every per-head matmul becomes ONE batched
+# dot_general in lhsT/rhsT-native form. Costs two [N,D]<->[D,N] transposes per
+# program (in and out); weights arrive pre-transposed ([3D,D]/[D,D], an
+# XLA-side transpose outside the kernel).
+# ---------------------------------------------------------------------------
+
+
+def _make_space_block_kernel_v3(H: int, save_stats: bool = False,
+                                save_acts: bool = False):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               o_ref, ocls_ref, *rest):
+        """Grid (B, T), t minor. Same contract as the v2 kernel, but the
+        saved activations are TRANSPOSED ([B,T,D,N] / [B,D,1])."""
+        if save_stats and save_acts:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = o_ref.dtype
+        f32 = jnp.float32
+
+        ln_sT = ln_sT_ref[:].astype(f32)                   # [D, 1]
+        ln_bT = ln_bT_ref[:].astype(f32)
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        bprojT = bprojT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        def lnT(tT):                                       # LN over sublanes
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)       # [1, n]
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_sT + ln_bT
+
+        xT = x_ref[0, 0].T                                 # [D, N]
+        clsT = cls_ref[0].T                                # [D, 1]
+        x_lnT = lnT(xT).astype(dtype)
+        cls_lnT = lnT(clsT).astype(dtype)
+
+        qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
+                       preferred_element_type=f32)         # [3D, N]
+        qT = ((qkvT[:D] + bqT) * scale).astype(dtype)
+        kT = (qkvT[D:2 * D] + bkT).astype(dtype)
+        vT = (qkvT[2 * D:] + bvT).astype(dtype)
+        if save_acts:
+            qT_ref[0, 0] = qT
+            kT_ref[0, 0] = kT
+            vT_ref[0, 0] = vT
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        q3 = qT.reshape(H, d, N)
+        k3 = kT.reshape(H, d, N)
+        v3 = vT.reshape(H, d, N)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))          # over head dim d
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))         # over key lanes
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones((H, 1), f32)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)  # [H,Nq,Nk]
+        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)   # [H, Nq]
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)                         # [H, Nq]
+        denom = jnp.sum(p, axis=-1) + p_cls
+        oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
+                                  preferred_element_type=f32)  # [H, d, Nq]
+        oT3 = (oT3 + vc3 * p_cls[:, None, :]) / denom[:, None, :]
+        attn_T = oT3.astype(dtype).reshape(D, N)
+        if save_acts:
+            attnT_ref[0, 0] = attn_T
+
+        projT = jnp.dot(wprojT_ref[:], attn_T,
+                        preferred_element_type=f32) + bprojT   # [D, N]
+        o_ref[0, 0] = (base_ref[0, 0].astype(f32) + projT.T).astype(dtype)
+
+        # CLS row: online accumulation (all-vector scratch ops)
+        lc = jnp.sum(k3.astype(f32) * qc3, axis=1)         # [H, Nk]
+        c_max = jnp.max(lc, axis=1, keepdims=True)         # [H, 1]
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)
+        corr = jnp.exp(m_old - m_new)                      # [H, 1]
+        p_c = jnp.exp(lc - m_new)                          # [H, Nk]
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p_c, axis=1, keepdims=True)
+        pv = jnp.sum(v3.astype(f32) * p_c[:, None, :], axis=2,
+                     keepdims=True)                        # [H, d, 1]
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]) \
+                .reshape(D, 1)                             # fp32
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) + bprojT  # [D, 1]
+            ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+            if save_stats:
+                lse_ref[0] = (m_scr[...] + jnp.log(l_scr[...])).T  # [1, H]
+                acls_ref[0] = cls_attT                     # [D, 1] fp32
+
+    return kernel
+
+
+def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
+                                   wproj, bproj, num_frames: int,
+                                   patches_per_frame: int, num_heads: int,
+                                   save_stats: bool = False,
+                                   save_acts: bool = False,
+                                   interpret: bool = False):
+    """d-major head-batched variant of fused_space_attention_block_v2 — same
+    math and output contract; saved activations come back TRANSPOSED
+    (qT/kT/vT/attnT: [B,T,D,N]; acls: [B,D,1]) for the v3 backward."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+    d = D // num_heads
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    base_cls = base[:, :1]
+    base_p = base[:, 1:].reshape(B, T, N, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    out_specs = [frame_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, num_heads), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
+                      jax.ShapeDtypeStruct((B, D, 1), jnp.float32)]
+        if save_acts:
+            out_specs += [frameT_spec] * 4
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, N), x.dtype)] * 4
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v3(num_heads, save_stats, save_acts),
+        grid=(B, T),
+        in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
+                  wprojT_spec, vecT_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((num_heads, 1), jnp.float32),
+                        pltpu.VMEM((num_heads, 1), jnp.float32),
+                        pltpu.VMEM((num_heads, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(D, 1),
+      ln_bias.reshape(D, 1), wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj.T, bproj.reshape(D, 1))
+    out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
+    if save_stats and save_acts:
+        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+    if save_stats:
+        return out, outs[2], outs[3]
+    return out

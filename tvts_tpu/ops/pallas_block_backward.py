@@ -825,3 +825,324 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# v3 SPACE backward: d-major, head-batched (see the v3 forward's rationale in
+# ops/pallas_block_attention.py). Consumes the TRANSPOSED activations saved
+# by fused_space_attention_block_v3 and accumulates the qkv weight/bias/LN
+# gradients in transposed orientation (fixed up XLA-side by the wrapper).
+# ---------------------------------------------------------------------------
+
+
+def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, wqkv_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
+               lse_ref, aclsT_ref, *rest):
+        """Grid (B, T), t minor."""
+        if use_saved:
+            qT_ref, kT_ref, vT_ref, attnT_ref = rest[:4]
+            rest = rest[4:]
+        (dx_ref, dxcls_ref, dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref,
+         dwproj_ref, dbproj_ref, dlsT_ref, dlbT_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (t == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref, dwproj_ref,
+                        dbproj_ref, dlsT_ref, dlbT_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(t == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_sT = ln_sT_ref[:].astype(f32)
+        ln_bT = ln_bT_ref[:].astype(f32)
+        bqT = bqT_ref[:].astype(f32)
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        def lnT_fwd(tT):
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (tf - mu) * rstd
+            return xhat * ln_sT + ln_bT, xhat, rstd
+
+        xT = x_ref[0, 0].T                                 # [D, N]
+        clsT = cls_ref[0].T                                # [D, 1]
+        x_lnT_f, xhatT, rstdT = lnT_fwd(xT)
+        x_lnT = x_lnT_f.astype(dtype)
+        cls_lnT_f, xhat_cT, rstd_cT = lnT_fwd(clsT)
+        cls_lnT = cls_lnT_f.astype(dtype)
+
+        if use_saved:
+            qT = qT_ref[0, 0]
+            kT = kT_ref[0, 0]
+            vT = vT_ref[0, 0]
+        else:
+            qkvT = jnp.dot(wqkvT_ref[:], x_lnT, preferred_element_type=f32)
+            qT = ((qkvT[:D] + bqT) * scale).astype(dtype)
+            kT = (qkvT[D:2 * D] + bkT).astype(dtype)
+            vT = (qkvT[2 * D:] + bvT).astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT, preferred_element_type=f32)
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        q3 = qT.reshape(H, d, N)
+        k3 = kT.reshape(H, d, N)
+        v3 = vT.reshape(H, d, N)
+        k3f = k3.astype(f32)
+        v3f = v3.astype(f32)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))
+        CONTRACT_Q_LHS2 = (((2,), (1,)), ((0,), (0,)))     # lhs lanes x rhs Nq
+
+        g_p = g_ref[0, 0]                                  # [N, D] dtype
+        gT = g_p.T                                         # [D, N]
+        dattnT = jnp.dot(wproj_ref[:], gT,
+                         preferred_element_type=f32)       # [D, N]
+        dout3 = dattnT.reshape(H, d, N)
+        dout_b = dout3.astype(dtype)
+        gcls = gcls_ref[0]                                 # [1, D]
+        dattn_cT = jnp.dot(wproj_ref[:], gcls.T,
+                           preferred_element_type=f32)     # [D, 1]
+        dout_c3 = dattn_cT.reshape(H, d, 1)
+        acls3 = aclsT_ref[0].reshape(H, d, 1)              # fp32
+        lse3 = lse_ref[0].T                                # [H, 1]
+
+        # recompute probs (head-batched)
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)  # [H,Nq,Nk]
+        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)
+        denom = jnp.sum(p, axis=-1) + p_cls
+        pn = p / denom[..., None]                          # [H, Nq, Nk] f32
+        pn_cls = p_cls / denom                             # [H, Nq]
+        pn_b = pn.astype(dtype)
+
+        if use_saved:
+            attn_T = attnT_ref[0, 0]
+        else:
+            oT3 = jax.lax.dot_general(v3, pn_b, CONTRACT_NK,
+                                      preferred_element_type=f32) \
+                + vc3 * pn_cls[:, None, :]
+            attn_T = oT3.astype(dtype).reshape(D, N)
+        dwproj_ref[...] += jnp.dot(attn_T, g_p,
+                                   preferred_element_type=f32)
+        dbproj_ref[...] += jnp.sum(g_p.astype(f32), axis=0, keepdims=True)
+
+        # value grads
+        dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)  # [H, d, Nk]
+        dcv_scr[...] += jnp.sum(dout3 * pn_cls[:, None, :], axis=2,
+                                keepdims=True)
+        # prob grads + softmax bwd
+        dp = jax.lax.dot_general(dout_b, v3, CONTRACT_D,
+                                 preferred_element_type=f32)   # [H, Nq, Nk]
+        dp_cls = jnp.sum(dout3 * vc3, axis=1)              # [H, Nq]
+        rowsum = jnp.sum(pn * dp, axis=-1) + pn_cls * dp_cls
+        ds = pn * (dp - rowsum[..., None])
+        ds_cls = pn_cls * (dp_cls - rowsum)                # [H, Nq]
+        ds_b = ds.astype(dtype)
+        dq3 = jax.lax.dot_general(k3, ds_b, CONTRACT_NK,
+                                  preferred_element_type=f32) \
+            + kc3 * ds_cls[:, None, :]                     # [H, d, Nq]
+        dk3 = jax.lax.dot_general(q3, ds_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)  # [H, d, Nk]
+        dck_scr[...] += jnp.sum(q3.astype(f32) * ds_cls[:, None, :], axis=2,
+                                keepdims=True)
+
+        # CLS row contribution from this frame's keys
+        delta3 = jnp.sum(acls3 * dout_c3, axis=1)          # [H, 1]
+        lrow = jnp.sum(k3f * qc3, axis=1)                  # [H, Nk]
+        pn_row = jnp.exp(lrow - lse3)                      # [H, Nk]
+        dv3 = dv3 + pn_row[:, None, :] * dout_c3
+        dp_row = jnp.sum(v3f * dout_c3, axis=1)            # [H, Nk]
+        ds_row = pn_row * (dp_row - delta3)                # [H, Nk]
+        dqc_scr[...] += jnp.sum(k3f * ds_row[:, None, :], axis=2,
+                                keepdims=True)
+        dk3 = dk3 + qc3 * ds_row[:, None, :]
+
+        @pl.when(t == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc3 * kc3, axis=1) - lse3)  # [H, 1]
+            dcv_scr[...] += p_self[..., None] * dout_c3
+            dp_self = jnp.sum(vc3 * dout_c3, axis=1)       # [H, 1]
+            ds_self = p_self * (dp_self - delta3)          # [H, 1]
+            dqc_scr[...] += ds_self[..., None] * kc3
+            dck_scr[...] += ds_self[..., None] * qc3
+
+        dqT = dq3.reshape(D, N) * scale                    # fp32
+        dkT = dk3.reshape(D, N)
+        dvT = dv3.reshape(D, N)
+        dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=0).astype(dtype)
+        x_ln = x_lnT.T                                     # [N, D]
+        dwqkvT_ref[...] += jnp.dot(dqkvT, x_ln,
+                                   preferred_element_type=f32)
+        dbqT_ref[...] += jnp.sum(dqT, axis=1, keepdims=True)
+        dbkT_ref[...] += jnp.sum(dkT, axis=1, keepdims=True)
+        dbvT_ref[...] += jnp.sum(dvT, axis=1, keepdims=True)
+
+        dxlnT = jnp.dot(wqkv_ref[:], dqkvT,
+                        preferred_element_type=f32)        # [D, N]
+        dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+        dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+        dxhatT = dxlnT * ln_sT
+        m1 = jnp.mean(dxhatT, axis=0, keepdims=True)       # [1, N]
+        m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+        dxT = (dxhatT - m1 - xhatT * m2) * rstdT
+        dx_ref[0, 0] = dxT.T.astype(dx_ref.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqcT = dqc_scr[...].reshape(D, 1) * scale      # fp32
+            dkcT = dck_scr[...].reshape(D, 1)
+            dvcT = dcv_scr[...].reshape(D, 1)
+            dqkv_cT = jnp.concatenate([dqcT, dkcT, dvcT], axis=0).astype(dtype)
+            cls_ln_row = cls_lnT.T                         # [1, D]
+            dwqkvT_ref[...] += jnp.dot(dqkv_cT, cls_ln_row,
+                                       preferred_element_type=f32)
+            dbqT_ref[...] += dqcT
+            dbkT_ref[...] += dkcT
+            dbvT_ref[...] += dvcT
+            dwproj_ref[...] += jnp.dot(aclsT_ref[0].astype(dtype), gcls,
+                                       preferred_element_type=f32)
+            dbproj_ref[...] += gcls.astype(f32)
+            dxln_cT = jnp.dot(wqkv_ref[:], dqkv_cT,
+                              preferred_element_type=f32)  # [D, 1]
+            dlsT_ref[...] += dxln_cT * xhat_cT
+            dlbT_ref[...] += dxln_cT
+            dxhat_c = dxln_cT * ln_sT
+            m1c = jnp.mean(dxhat_c, axis=0, keepdims=True)
+            m2c = jnp.mean(dxhat_c * xhat_cT, axis=0, keepdims=True)
+            dxcT = (dxhat_c - m1c - xhat_cT * m2c) * rstd_cT
+            dxcls_ref[0] = dxcT.T.astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                       wproj, lse, attn_clsT, num_frames: int,
+                                       patches_per_frame: int, num_heads: int,
+                                       acts_saved=None,
+                                       interpret: bool = False):
+    """Backward matching fused_space_attention_block_v3 (acts_saved holds the
+    TRANSPOSED qT/kT/vT/attnT [B,T,D,N]; attn_clsT is [B,D,1])."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    d = D // num_heads
+    assert S == 1 + T * N
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+    b3 = bqkv.reshape(3, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    clsT_spec = pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    extra_in_specs = [frameT_spec] * 4 if acts_saved is not None else []
+    extra_ins = tuple(acts_saved) if acts_saved is not None else ()
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel_v3(num_heads,
+                                  use_saved=acts_saved is not None),
+        grid=(B, T),
+        in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wproj_spec, lse_spec, clsT_spec]
+        + extra_in_specs,
+        out_specs=(frame_spec, cls_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                   vecT_spec, wproj_spec, vec_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((num_heads, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj, lse, attn_clsT, *extra_ins)
+    (dx_p, dx_cls, dwqkvT, dbqT, dbkT, dbvT, dwproj, dbproj, dlsT,
+     dlbT) = outs
+    dx = jnp.concatenate([dx_cls, dx_p.reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbqT[:, 0], dbkT[:, 0], dbvT[:, 0]])
+    return (dx, dlsT[:, 0], dlbT[:, 0], dwqkvT.T, dbqkv, dwproj, dbproj[0])
+
+
+def make_space_subpath_v3(num_frames: int, patches_per_frame: int,
+                          num_heads: int, interpret: bool = False):
+    """d-major head-batched differentiable space sub-path (v3 fwd + bwd).
+    Same contract as make_space_subpath."""
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v3
+
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_space_attention_block_v3(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H,
+            interpret=interpret)
+
+    def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        out, lse, aclsT, qT, kT, vT, attnT = fused_space_attention_block_v3(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, save_stats=True,
+            save_acts=True, interpret=interpret)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+                     (qT, kT, vT, attnT))
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT, acts = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v3_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+                num_frames=T, patches_per_frame=N, num_heads=H,
+                acts_saved=acts, interpret=interpret)
+        return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
