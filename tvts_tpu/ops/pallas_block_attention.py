@@ -481,8 +481,6 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
                      preferred_element_type=jnp.float32) + bv
         q_cls = qc * scale                                 # [1, D] fp32
-        ck = kc[0].astype(dtype)
-        cv = vc[0].astype(dtype)
 
         # CLS self term initializes the online softmax (weight exp(m-m)=1)
         @pl.when(c == 0)
@@ -498,45 +496,50 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
         valid = loc < N                                    # [T, Nc]
 
-        head_outs = []
+        # head-batched [H, T, d, Nc] layout: stacks of per-head swapaxes
+        # outputs (fresh values — legal, unlike stacks of raw lane-offset
+        # slices). The T-loop's elementwise softmax chain then runs once per
+        # frame over ALL heads (12x fewer VPU op issues than the (h, t) loop).
+        def to_heads4(a):
+            return jnp.stack([jnp.swapaxes(a[..., h * d:(h + 1) * d], -1, -2)
+                              for h in range(H)]).astype(jnp.float32)
+
+        q4 = to_heads4(q)                                  # [H, T, d, Nc]
+        k4 = to_heads4(k)
+        v4 = to_heads4(v)
+        ck4 = kc.T.reshape(H, d, 1)                        # fp32
+        cv4 = vc.T.reshape(H, d, 1)
+        qc4 = q_cls.T.reshape(H, d, 1)
+
+        outs_t = []
+        for t in range(T):
+            qt = q4[:, t]                                  # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
+            cls_l = jnp.sum(qt * ck4, axis=1)[:, None]     # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)      # [H, 1, Nc]
+            out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
+            out_t = out_t + p[:, 0][:, None, :] * cv4
+            outs_t.append((out_t / denom).astype(dtype).reshape(D, Nc))
+
+        # --- CLS row: online accumulation over this chunk's keys ----------
+        lc_all = jnp.sum(k4 * qc4[:, None], axis=2)        # [H, T, Nc]
+        lc_all = jnp.where(valid[None], lc_all, -1e30)
         for h in range(H):
-            sl = slice(h * d, (h + 1) * d)
-            qh = jnp.swapaxes(q[..., sl], -1, -2).astype(jnp.float32)  # [T,d,Nc]
-            kh = jnp.swapaxes(k[..., sl], -1, -2).astype(jnp.float32)
-            vh = jnp.swapaxes(v[..., sl], -1, -2).astype(jnp.float32)
-            ckh = ck[sl].astype(jnp.float32)
-            cvh = cv[sl].astype(jnp.float32)
-
-            # --- patch rows: per-location time attention (+ CLS column) ---
-            outs_t = []
-            for t in range(T):
-                l = jnp.sum(qh[t][None] * kh, axis=1)              # [T, Nc]
-                cls_l = jnp.sum(qh[t] * ckh[:, None], axis=0)[None]  # [1, Nc]
-                full = jnp.concatenate([cls_l, l], axis=0)
-                m = jnp.max(full, axis=0, keepdims=True)
-                p = jnp.exp(full - m)
-                denom = jnp.sum(p, axis=0, keepdims=True)
-                out_t = jnp.sum(p[1:][:, None, :] * vh, axis=0)
-                out_t = out_t + p[0][None, :] * cvh[:, None]
-                outs_t.append((out_t / denom).astype(dtype))
-
-            # --- CLS row: online accumulation over this chunk's keys ------
-            qch = q_cls[0, sl]                                     # [d] fp32
-            lc = jnp.sum(kh * qch[None, :, None], axis=1)          # [T, Nc]
-            lc = jnp.where(valid, lc, -1e30)
+            lc = lc_all[h]                                 # [T, Nc]
             c_max = jnp.max(lc)
             m_old = m_scr[h]
             m_new = jnp.maximum(m_old, c_max)
             corr = jnp.exp(m_old - m_new)
-            p_c = jnp.exp(lc - m_new)                              # [T, Nc]
+            p_c = jnp.exp(lc - m_new)                      # [T, Nc]
             m_scr[h] = m_new
             l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
-            pv = jnp.sum(vh * p_c[:, None, :], axis=(0, 2))        # [d]
+            pv = jnp.sum(v4[h] * p_c[:, None, :], axis=(0, 2))  # [d]
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
-            head_outs.append(jnp.stack(outs_t))                    # [T, d, Nc]
-
-        attn = jnp.concatenate(head_outs, axis=1)                  # [T, D, Nc]
+        attn = jnp.stack(outs_t)                           # [T, D, Nc]
         attn = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
         if save_acts:
             attn_ref[0] = attn.reshape(T, Nc, D)

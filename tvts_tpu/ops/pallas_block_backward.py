@@ -570,81 +570,82 @@ def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
         loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
         valid = loc < N                                       # [T, Nc]
 
-        attn_heads = []
-        dq_heads, dk_heads, dv_heads = [], [], []
-        for h in range(H):
-            sl = slice(h * d, (h + 1) * d)
-            qh = jnp.swapaxes(q[..., sl], -1, -2).astype(jnp.float32)  # [T,d,Nc]
-            kh = jnp.swapaxes(k[..., sl], -1, -2).astype(jnp.float32)
-            vh = jnp.swapaxes(v[..., sl], -1, -2).astype(jnp.float32)
-            douth = jnp.swapaxes(dattn3[..., sl], -1, -2).astype(jnp.float32)
-            qch = qc[0, sl]                                   # [d]
-            kch = kc[0, sl]
-            vch = vc[0, sl]
-            lse_h = lse_ref[0, 0, h]
+        # head-batched [H, T, d, Nc] layout (stacks of per-head swapaxes
+        # outputs — fresh values, so legal); the T-loop's softmax-backward
+        # chain runs once per frame over ALL heads (12x fewer VPU op issues)
+        def to_heads4(a):
+            return jnp.stack([jnp.swapaxes(a[..., h * d:(h + 1) * d], -1, -2)
+                              for h in range(H)]).astype(jnp.float32)
 
-            dk_h = jnp.zeros_like(kh)
-            dv_h = jnp.zeros_like(vh)
-            dq_ts = []
-            outs_t = []
-            for t in range(T):
-                l = jnp.sum(qh[t][None] * kh, axis=1)         # [T, Nc]
-                cls_l = jnp.sum(qh[t] * kch[:, None], axis=0)[None]  # [1, Nc]
-                full = jnp.concatenate([cls_l, l], axis=0)    # [T+1, Nc]
-                m = jnp.max(full, axis=0, keepdims=True)
-                p = jnp.exp(full - m)
-                denom = jnp.sum(p, axis=0, keepdims=True)
-                pn = p / denom                                # [T+1, Nc]
-                if not use_saved:
-                    out_t = jnp.sum(pn[1:][:, None, :] * vh, axis=0) \
-                        + pn[0][None, :] * vch[:, None]       # [d, Nc]
-                    outs_t.append(out_t.astype(dtype))
+        q4 = to_heads4(q)                                     # [H, T, d, Nc]
+        k4 = to_heads4(k)
+        v4 = to_heads4(v)
+        dout4 = to_heads4(dattn3)
+        qc4 = qc.T.reshape(H, d, 1)                           # fp32
+        kc4 = kc.T.reshape(H, d, 1)
+        vc4 = vc.T.reshape(H, d, 1)
+        acls4 = acls.T.reshape(H, d, 1)
+        dout_c4 = dattn_cls.T.reshape(H, d, 1)
+        lse2 = lse_ref[0].T                                   # [H, 1]
+        lse4 = lse2[..., None]                                # [H, 1, 1]
 
-                dout_t = douth[t]                             # [d, Nc]
-                dv_h = dv_h + pn[1:][:, None, :] * dout_t[None]
-                dcv_scr[h, :] += jnp.sum(pn[0][None, :] * dout_t, axis=1)
-                dp = jnp.sum(vh * dout_t[None], axis=1)       # [T, Nc]
-                dp_cls = jnp.sum(vch[:, None] * dout_t, axis=0)[None]  # [1,Nc]
-                full_dp = jnp.concatenate([dp_cls, dp], axis=0)
-                rowsum = jnp.sum(pn * full_dp, axis=0, keepdims=True)  # [1,Nc]
-                ds = pn * (full_dp - rowsum)                  # [T+1, Nc]
-                dq_ts.append(jnp.sum(ds[1:][:, None, :] * kh, axis=0)
-                             + ds[0][None, :] * kch[:, None])
-                dk_h = dk_h + ds[1:][:, None, :] * qh[t][None]
-                dck_scr[h, :] += jnp.sum(ds[0][None, :] * qh[t], axis=1)
-
-            dq_h = jnp.stack(dq_ts)                           # [T, d, Nc]
-            # ---- CLS row over this chunk's (valid) keys --------------------
-            dout_c = dattn_cls[0, sl]                         # [d]
-            delta_h = jnp.sum(acls[0, sl] * dout_c)
-            lrow = jnp.sum(kh * qch[None, :, None], axis=1)   # [T, Nc]
-            pn_row = jnp.where(valid, jnp.exp(lrow - lse_h), 0.0)
-            dv_h = dv_h + pn_row[:, None, :] * dout_c[None, :, None]
-            dp_row = jnp.sum(vh * dout_c[None, :, None], axis=1)  # [T, Nc]
-            ds_row = pn_row * (dp_row - delta_h)
-            dqc_scr[h, :] += jnp.sum(ds_row[:, None, :] * kh, axis=(0, 2))
-            dk_h = dk_h + ds_row[:, None, :] * qch[None, :, None]
-
-            @pl.when(c == 0)
-            def _self(h=h, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
-                      delta_h=delta_h, lse_h=lse_h):
-                p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
-                dcv_scr[h, :] += p_self * dout_c
-                dp_self = jnp.sum(vch * dout_c)
-                ds_self = p_self * (dp_self - delta_h)
-                dqc_scr[h, :] += ds_self * kch
-                dck_scr[h, :] += ds_self * qch
-
+        dk4 = jnp.zeros_like(k4)
+        dv4 = jnp.zeros_like(v4)
+        dq_ts = []
+        outs_t = []
+        for t in range(T):
+            qt = q4[:, t]                                     # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)             # [H, T, Nc]
+            cls_l = jnp.sum(qt * kc4, axis=1)[:, None]        # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)        # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            pn = p / denom                                    # [H, T+1, Nc]
             if not use_saved:
-                attn_heads.append(jnp.stack(outs_t))          # [T, d, Nc]
-            dq_heads.append(dq_h)
-            dk_heads.append(dk_h)
-            dv_heads.append(dv_h)
+                out_t = jnp.sum(pn[:, 1:][:, :, None] * v4, axis=1) \
+                    + pn[:, 0][:, None, :] * vc4              # [H, d, Nc]
+                outs_t.append(out_t.astype(dtype).reshape(D, Nc))
+
+            dout_t = dout4[:, t]                              # [H, d, Nc]
+            dv4 = dv4 + pn[:, 1:][:, :, None] * dout_t[:, None]
+            dcv_scr[...] += jnp.sum(pn[:, 0][:, None, :] * dout_t, axis=2)
+            dp = jnp.sum(v4 * dout_t[:, None], axis=2)        # [H, T, Nc]
+            dp_cls = jnp.sum(vc4 * dout_t, axis=1)[:, None]   # [H, 1, Nc]
+            full_dp = jnp.concatenate([dp_cls, dp], axis=1)
+            rowsum = jnp.sum(pn * full_dp, axis=1, keepdims=True)
+            ds = pn * (full_dp - rowsum)                      # [H, T+1, Nc]
+            dq_ts.append(jnp.sum(ds[:, 1:][:, :, None] * k4, axis=1)
+                         + ds[:, 0][:, None, :] * kc4)        # [H, d, Nc]
+            dk4 = dk4 + ds[:, 1:][:, :, None] * qt[:, None]
+            dck_scr[...] += jnp.sum(ds[:, 0][:, None, :] * qt, axis=2)
+
+        dq4 = jnp.stack(dq_ts, axis=1)                        # [H, T, d, Nc]
+        # ---- CLS row over this chunk's (valid) keys ------------------------
+        delta4 = jnp.sum(acls4 * dout_c4, axis=1, keepdims=True)  # [H, 1, 1]
+        lrow = jnp.sum(k4 * qc4[:, None], axis=2)             # [H, T, Nc]
+        pn_row = jnp.where(valid[None], jnp.exp(lrow - lse4), 0.0)
+        dv4 = dv4 + pn_row[:, :, None, :] * dout_c4[:, None]
+        dp_row = jnp.sum(v4 * dout_c4[:, None], axis=2)       # [H, T, Nc]
+        ds_row = pn_row * (dp_row - delta4)
+        dqc_scr[...] += jnp.sum(ds_row[:, :, None, :] * k4, axis=(1, 3))
+        dk4 = dk4 + ds_row[:, :, None, :] * qc4[:, None]
+
+        @pl.when(c == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc4[:, :, 0] * kc4[:, :, 0], axis=1,
+                                     keepdims=True) - lse2)   # [H, 1]
+            dcv_scr[...] += p_self * dout_c4[:, :, 0]
+            dp_self = jnp.sum(vc4[:, :, 0] * dout_c4[:, :, 0], axis=1,
+                              keepdims=True)                  # [H, 1]
+            ds_self = p_self * (dp_self - delta4[:, :, 0])
+            dqc_scr[...] += ds_self * kc4[:, :, 0]
+            dck_scr[...] += ds_self * qc4[:, :, 0]
 
         if use_saved:
             attn_flat = attn_ref[0].reshape(T * Nc, D)
         else:
-            attn = jnp.concatenate(attn_heads, axis=1)        # [T, D, Nc]
+            attn = jnp.stack(outs_t)                          # [T, D, Nc]
             attn_flat = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
         dwproj_ref[...] += jnp.dot(attn_flat.T.astype(dtype),
                                    g_flat.astype(dtype),
@@ -652,13 +653,13 @@ def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
         dbproj_ref[...] += jnp.sum(g_flat.astype(jnp.float32), axis=0,
                                    keepdims=True)
 
-        def to_flat(heads, mul=1.0):
-            full = jnp.concatenate(heads, axis=1)             # [T, D, Nc]
+        def to_flat(a4, mul=1.0):                             # [H,T,d,Nc]
+            full = jnp.transpose(a4, (1, 0, 2, 3)).reshape(T, D, Nc)
             return (jnp.swapaxes(full, -1, -2).reshape(T * Nc, D) * mul)
 
-        dq = to_flat(dq_heads, scale)
-        dk = to_flat(dk_heads)
-        dv = to_flat(dv_heads)
+        dq = to_flat(dq4, scale)
+        dk = to_flat(dk4)
+        dv = to_flat(dv4)
         dq_b, dk_b, dv_b = dq.astype(dtype), dk.astype(dtype), dv.astype(dtype)
         x_ln_t = x_ln.T
         dwqkv_ref[:, :D] += jnp.dot(x_ln_t, dq_b,
@@ -746,8 +747,9 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                              memory_space=pltpu.VMEM)
     wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
                               memory_space=pltpu.VMEM)
+    # VMEM (not SMEM): the head-batched kernel reads lse as an [H] vector
     lse_spec = pl.BlockSpec((1, 1, num_heads), lambda b, c: (b, 0, 0),
-                            memory_space=pltpu.SMEM)
+                            memory_space=pltpu.VMEM)
 
     extra_in_specs = [chunk_spec] * 4 if acts_saved is not None else []
     extra_ins = tuple(acts_saved) if acts_saved is not None else ()
