@@ -19,7 +19,11 @@ import numpy as np
 
 from tvts_tpu.ops.fused_forward import _layernorm, _mlp, _var_attention_xla
 from tvts_tpu.ops.pallas_block_attention import make_mlp_subpath
-from tvts_tpu.ops.pallas_block_backward import make_space_subpath, make_time_subpath
+from tvts_tpu.ops.pallas_block_backward import (
+    make_space_subpath,
+    make_space_subpath_v3,
+    make_time_subpath,
+)
 
 B = int(os.environ.get("B", 32))
 T, N, D, H = 12, 98, 768, 12
@@ -60,6 +64,7 @@ def main():
 
     time_f = make_time_subpath(T, N, H, chunk=128)
     space_f = make_space_subpath(T, N, H)
+    space_v3 = make_space_subpath_v3(T, N, H)
     mlp_f = make_mlp_subpath(act="quick_gelu", chunk=256)
 
     def chain(sub):
@@ -81,6 +86,8 @@ def main():
                      (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/fused": (chain(lambda x, *w: space_f(x, x, *w)),
                         (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
+        "space/v3": (chain(lambda x, *w: space_v3(x, x, *w)),
+                     (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/xla": (chain(lambda x, ln_s, ln_b, wq, bq, wp, bp:
                             x + _var_attention_xla(
                                 _layernorm(x, {"scale": ln_s, "bias": ln_b}),
