@@ -112,6 +112,17 @@ def main():
 
         setup_logging(str(config.log_dir), verbosity=tcfg.get("verbosity", 2))
         writer = ScalarWriter(str(config.log_dir))
+        if tcfg.get("neptune"):
+            # reference configs can request a Sacred/Neptune observer
+            # (train_dist_TVTSv2_ViT_B_16.py:210-216); TPU pods have no
+            # network trackers, so scalars go to the JSONL ScalarWriter (and
+            # TensorBoard event files when trainer.tensorboard is set)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "config requests neptune=true: no network trackers here; "
+                "scalars are written to %s (JSONL / TensorBoard)",
+                config.log_dir)
         visualizer = None
         if config.get("visualizer", {}).get("type"):
             from tvts_tpu.utils.visualizer import RetrievalVis
