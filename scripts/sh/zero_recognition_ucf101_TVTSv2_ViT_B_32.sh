@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# Mirrors reference v2/scripts/zero_recognition_ucf101_TVTSv2_ViT_B_32.sh
+cd "$(dirname "$0")/../.."
+
+python scripts/zero_recognition_TVTSv2_ViT_B_32.py "$@" \
+  --config tvts_tpu/configs/zero-ucf101-vit-b-32.json \
+  --dataset ucf101
+

@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# Mirrors reference v2/scripts/zero_ret_lsmdc_TVTSv2_ViT_H_14.sh
+cd "$(dirname "$0")/../.."
+
+python scripts/zero_ret_TVTSv2_ViT_H_14.py "$@" \
+  --config tvts_tpu/configs/zero-lsmdc-vit-h-14.json
+

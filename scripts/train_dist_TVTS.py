@@ -110,7 +110,8 @@ def main():
             epochs=tcfg.get("epochs", 16), mesh=mesh, ckpt_manager=ckpt,
             max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),
             tokenize_fn=wordpiece_tokenize_fn(args.bert_vocab,
-                                              max_length=cfg.max_text_len))
+                                              max_length=cfg.max_text_len),
+            epoch_loader=tcfg.get("epoch_loader"))
         trainer.train()
 
 

@@ -144,7 +144,8 @@ def main():
                           context_length=cfg.text.context_length,
                           writer=writer, visualizer=visualizer,
                           temperature=config.get("loss", {}).get("args", {})
-                          .get("temperature", 0.05))
+                          .get("temperature", 0.05),
+                          epoch_loader=tcfg.get("epoch_loader"))
         if args.resume:
             trainer.resume()
         trainer.train()

@@ -21,7 +21,7 @@ def timeit(fn, args, iters=8, rounds=3):
     out = fn(*args)
     float(jnp.sum(jax.tree.leaves(out)[0]))
     best = np.inf
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [fn(*args) for _ in range(iters)]
         float(jnp.sum(jnp.stack([jnp.sum(jax.tree.leaves(o)[0])

@@ -89,7 +89,9 @@ def main():
     # fp32 interpret tests prove the math identical). Flag at 2x that band.
     ok = worst_sig < 0.12 and abs(float(l_x) - float(l_f)) < 2e-2
     print("PARITY OK" if ok else "PARITY SUSPECT")
+    return ok
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(0 if main() else 1)

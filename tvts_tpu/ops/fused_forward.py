@@ -193,6 +193,11 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         make_time_subpath,
     )
 
+    if space_mode not in ("pallas", "pallas_v2", "xla"):
+        raise ValueError(f"space_mode {space_mode!r} not in "
+                         "('pallas', 'pallas_v2', 'xla')")
+    if mlp_mode not in ("pallas", "xla"):
+        raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
     time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                chunk=time_chunk, interpret=interpret)
     if space_mode == "pallas":

@@ -447,6 +447,9 @@ def make_space_subpath(num_frames: int, patches_per_frame: int,
     divided_space_time_attention path."""
 
     T, N, H = num_frames, patches_per_frame, num_heads
+    if bwd_mode == "xla" and not save_acts:
+        raise ValueError("bwd_mode='xla' requires save_acts=True (the XLA "
+                         "backward consumes the forward-saved q/k/v)")
     use_xla_bwd = bwd_mode == "xla" and save_acts
 
     @jax.custom_vjp

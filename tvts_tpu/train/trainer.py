@@ -84,7 +84,8 @@ class Trainer:
                  context_length: int = 77, log_step: int = 50, writer=None,
                  tokenize_fn=None, apply_fn=None,
                  save_every_steps: int | None = None, visualizer=None,
-                 temperature: float = 0.05):
+                 temperature: float = 0.05,
+                 epoch_loader: int | str | None = None):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -102,6 +103,10 @@ class Trainer:
         # the reference's epoch-only checkpoints, SURVEY §5)
         self.save_every_steps = save_every_steps
         self.visualizer = visualizer  # RetrievalVis, gated like the reference
+        # which loader defines len_epoch: an index or dataset name from the
+        # config (trainer.epoch_loader). None falls back to the reference's
+        # implicit convention (the YT-Temporal loader, trainer.py:76-79).
+        self.epoch_loader = epoch_loader
 
         # copy params into the state: train_step donates its input state, and the
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
@@ -114,13 +119,25 @@ class Trainer:
                                         temperature=temperature)
 
     def _len_epoch(self) -> int:
-        # the YT loader defines the epoch (reference trainer.py:76-79); fall back
-        # to the first loader when no dataset name starts with 'YT'
         n = None
-        for dl in self.data_loaders:
-            name = getattr(getattr(dl, "dataset", None), "dataset_name", "")
-            if str(name).startswith("YT"):
-                n = len(dl)
+        if isinstance(self.epoch_loader, int):
+            n = len(self.data_loaders[self.epoch_loader])
+        elif isinstance(self.epoch_loader, str):
+            for dl in self.data_loaders:
+                name = getattr(getattr(dl, "dataset", None), "dataset_name", "")
+                if str(name) == self.epoch_loader:
+                    n = len(dl)
+            if n is None:
+                raise ValueError(
+                    f"trainer.epoch_loader={self.epoch_loader!r} matches no "
+                    "loader dataset_name")
+        else:
+            # reference convention: the YT loader defines the epoch
+            # (trainer.py:76-79); fall back to the first loader otherwise
+            for dl in self.data_loaders:
+                name = getattr(getattr(dl, "dataset", None), "dataset_name", "")
+                if str(name).startswith("YT"):
+                    n = len(dl)
         if n is None:
             n = len(self.data_loaders[0])
         if self.max_samples_per_epoch:
