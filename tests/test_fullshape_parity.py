@@ -112,3 +112,148 @@ def test_fullshape_text_tower_parity():
     got = np.asarray(jax.jit(lambda p, i: model.apply({"params": p}, i))(
         params, ids32))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def _openclip_text_parts(width, layers, heads, ctx, vocab, out_dim):
+    """H/14 text contract: the vendored OpenCLIP Transformer (nn.GELU blocks,
+    causal mask per call — model_dist_TVTSv2_ViT_H_14.py:134-149)."""
+    import sys
+
+    import torch
+    import torch.nn as nn
+
+    if "OpenCLIP" not in sys.modules or not hasattr(sys.modules["OpenCLIP"],
+                                                    "__path__"):
+        from tests.conftest import _install_shims
+
+        _install_shims()
+    sys.modules["OpenCLIP"].__path__ = []
+    ref = load_reference_module("v2/OpenCLIP/transformer.py",
+                                "OpenCLIP.transformer")
+    torch.manual_seed(7)
+    parts = {
+        "transformer": ref.Transformer(width=width, layers=layers, heads=heads,
+                                       act_layer=nn.GELU,
+                                       norm_layer=ref.LayerNorm),
+        "token_embedding": nn.Embedding(vocab, width),
+        "positional_embedding": nn.Parameter(torch.randn(ctx, width) * 0.01),
+        "ln_final": ref.LayerNorm(width),
+        "text_projection": nn.Parameter(torch.randn(width, out_dim)
+                                        * width ** -0.5),
+        "attn_mask": torch.empty(ctx, ctx).fill_(float("-inf")).triu_(1),
+    }
+    return parts
+
+
+def _ref_compute_text_openclip(parts, token_ids):
+    import torch
+
+    with torch.no_grad():
+        x = parts["token_embedding"](token_ids)
+        x = x + parts["positional_embedding"]
+        x = x.permute(1, 0, 2)
+        x = parts["transformer"](x, attn_mask=parts["attn_mask"])
+        x = x.permute(1, 0, 2)
+        x = parts["ln_final"](x)
+        pooled = x[torch.arange(x.shape[0]), token_ids.argmax(dim=-1)]
+        return pooled @ parts["text_projection"]
+
+
+@pytest.mark.parametrize("geometry", ["b16", "h14"])
+def test_fullshape_combined_model_parity(geometry):
+    """COMBINED TVTSv2 forward at released-checkpoint shapes: text averaging +
+    video pooling + the sort head on detached per-clip text, all three outputs
+    vs the composed reference torch modules
+    (model_dist_TVTSv2_ViT_B_16.py:61-116 / model_dist_TVTSv2_ViT_H_14.py).
+    Closes the proxy chain the per-tower tests leave open (VERDICT r2 #1)."""
+    import torch
+
+    from tvts_tpu.models.configs import tvtsv2_b_16, tvtsv2_h_14
+    from tvts_tpu.models.tvts_v2 import TVTSv2
+
+    torch.manual_seed(11)
+    rng = np.random.default_rng(11)
+    if geometry == "b16":
+        cfg = tvtsv2_b_16()
+        refv = load_reference_module("v2/model/video_encoder_ViT_B_16.py",
+                                     "ref_vit_b_comb")
+        tvideo = refv.VisionTransformer(
+            input_resolution=224, patch_size=16, width=768, layers=12,
+            heads=12, output_dim=512, num_frames=12, mask_ratio=0.5)
+        text_parts = build_ref_text_parts(512, 12, 8, 77, 49408, 512)
+        compute_text = ref_compute_text
+    else:
+        cfg = tvtsv2_h_14()
+        refv = load_reference_module("v2/model/video_encoder_ViT_H_14.py",
+                                     "ref_vit_h_comb")
+        tvideo = refv.VisionTransformer(
+            image_size=224, patch_size=14, width=1280, layers=32, heads=16,
+            mlp_ratio=4.0, output_dim=1024, num_frames=12, mask_ratio=0.7)
+        text_parts = _openclip_text_parts(1024, 24, 16, 77,
+                                          cfg.text.vocab_size, 1024)
+        compute_text = _ref_compute_text_openclip
+    refs = load_reference_module("v2/model/sort_transformer.py",
+                                 "ref_sort_comb")
+    tsort = refs.SortTransformer(num_classes=cfg.sort.num_classes,
+                                 embed_dim=cfg.sort.embed_dim,
+                                 num_heads=cfg.sort.num_heads)
+    tvideo.eval(), tsort.eval()
+
+    v = cfg.vision
+    B, n_trans = 1, cfg.num_clips
+    video = rng.normal(size=(B, v.num_frames, 3, 224, 224)).astype(np.float32)
+    keep = np.stack([rng.permutation(v.patches_per_frame)[: v.n_keep]
+                     for _ in range(B)]).astype(np.int32)
+    vocab = cfg.text.vocab_size
+    ids = rng.integers(1, vocab - 2,
+                       size=(n_trans * B, cfg.text.context_length)) \
+        .astype(np.int64)
+    ids[:, 0] = 1
+    for r in range(ids.shape[0]):
+        ids[r, rng.integers(2, cfg.text.context_length)] = vocab - 1
+
+    with torch.no_grad():
+        t_emb = compute_text(text_parts, torch.from_numpy(ids))
+        per_clip = t_emb.reshape(n_trans, B, -1)
+        want_text = per_clip.mean(0).numpy()
+        vout = tvideo(torch.from_numpy(video), torch.from_numpy(keep).long())
+        if geometry == "b16":
+            want_video = vout[:, 0].numpy()
+            order_tokens = vout
+        else:
+            want_video = vout[0].numpy()
+            order_tokens = vout[1]
+        want_order = tsort(per_clip.permute(1, 0, 2), order_tokens).numpy()
+
+    model = TVTSv2(cfg)
+    jvideo, jkeep = jnp.asarray(video), jnp.asarray(keep)
+    jids = jnp.asarray(ids.astype(np.int32))
+    init = jax.eval_shape(model.init, jax.random.PRNGKey(0), jvideo, jids,
+                          jkeep)
+
+    sd = {f"video_model.{k}": p.detach().numpy()
+          for k, p in tvideo.state_dict().items()}
+    sd.update({f"text_model.{k}": v_.detach().numpy()
+               for k, v_ in text_parts["transformer"].state_dict().items()})
+    sd["text_token_embedding.weight"] = \
+        text_parts["token_embedding"].weight.detach().numpy()
+    sd["text_positional_embedding"] = \
+        text_parts["positional_embedding"].detach().numpy()
+    sd.update({f"text_ln_final.{k}": v_.detach().numpy()
+               for k, v_ in text_parts["ln_final"].state_dict().items()})
+    sd["text_projection"] = text_parts["text_projection"].detach().numpy()
+    sd.update({f"pred_model.{k}": p.detach().numpy()
+               for k, p in tsort.state_dict().items()})
+    params = merge_params(jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                       init["params"]),
+                          convert_state_dict(sd), strict=True)
+
+    got_text, got_video, got_order = jax.jit(
+        lambda p, vd, i, k: model.apply({"params": p}, vd, i, k))(
+            params, jvideo, jids, jkeep)
+    np.testing.assert_allclose(np.asarray(got_text), want_text, atol=5e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_video), want_video, atol=5e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_order), want_order, atol=2e-3,
+                               rtol=2e-3)
