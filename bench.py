@@ -53,10 +53,12 @@ def main():
 
         # v2 self-contained megakernels (in-kernel CLS row + folded residuals,
         # time chunk 128): 142 clips/s vs 94.2 for the round-1 v1 kernels
+        kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "2"))
+
         @jax.jit
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
-                params, cfg, video, keep, kernel_version=2, time_chunk=128)
+                params, cfg, video, keep, kernel_version=kv, time_chunk=128)
             return pooled
     else:
         @jax.jit

@@ -139,3 +139,40 @@ def test_fused_mlp_block_matches_xla():
         jnp.asarray(params["mlp"]["c_proj"]["bias"]),
         act="quick_gelu", chunk=16, interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_fused_time_block_v4_matches_xla():
+    """v4 T-leading time forward (extraction path) vs the XLA sub-path,
+    including the folded residual."""
+    import flax.linen as nn
+
+    from tvts_tpu.ops.pallas_block_attention import fused_time_attention_block_v4
+
+    rng = np.random.default_rng(4)
+    B, T, N, D, H = 2, 3, 20, 32, 4  # N=20 forces padding to chunk
+    S = 1 + T * N
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)) * 0.5
+
+    class SubPath(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = LayerNormF32(name="ln")(x)
+            return x + VarAttention(D, H, name="attn")(y, T, N, "time")
+
+    mod = SubPath()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(
+        lambda a: a + 0.02 * np.random.default_rng(5).normal(
+            size=a.shape).astype(np.float32), params)
+    want = np.asarray(mod.apply({"params": params}, x))
+
+    got = np.asarray(fused_time_attention_block_v4(
+        x,
+        jnp.asarray(params["ln"]["scale"]), jnp.asarray(params["ln"]["bias"]),
+        jnp.asarray(params["attn"]["qkv"]["kernel"]),
+        jnp.asarray(params["attn"]["qkv"]["bias"]),
+        jnp.asarray(params["attn"]["proj"]["kernel"]),
+        jnp.asarray(params["attn"]["proj"]["bias"]),
+        num_frames=T, patches_per_frame=N, num_heads=H, chunk=8,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

@@ -23,6 +23,7 @@ from tvts_tpu.ops.pallas_block_backward import (
     make_space_subpath,
     make_space_subpath_v3,
     make_time_subpath,
+    make_time_subpath_v3,
 )
 
 B = int(os.environ.get("B", 32))
@@ -63,6 +64,7 @@ def main():
     ln_b = jnp.zeros((D,), jnp.float32)
 
     time_f = make_time_subpath(T, N, H, chunk=128)
+    time_v3 = make_time_subpath_v3(T, N, H, chunk=128)
     space_f = make_space_subpath(T, N, H)
     space_v3 = make_space_subpath_v3(T, N, H)
     mlp_f = make_mlp_subpath(act="quick_gelu", chunk=256)
@@ -77,6 +79,8 @@ def main():
     cases = {
         "time/fused": (chain(lambda x, *w: time_f(x, *w)),
                        (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
+        "time/v3": (chain(lambda x, *w: time_v3(x, *w)),
+                    (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "time/xla": (chain(lambda x, ln_s, ln_b, wq, bq, wp, bp:
                            x + _var_attention_xla(
                                _layernorm(x, {"scale": ln_s, "bias": ln_b}),
@@ -105,7 +109,13 @@ def main():
                     (x, ln_s, ln_b, wfc, bfc, wpr, bpr)),
     }
 
-    print(f"B={B}, pretrain shapes (T={T}, N={N}): ms per 12-block chain")
+    only = os.environ.get("CASES")  # comma-separated substring filter
+    if only:
+        keys = [k.strip() for k in only.split(",")]
+        cases = {n: c for n, c in cases.items()
+                 if any(k in n for k in keys)}
+    print(f"B={B}, pretrain shapes (T={T}, N={N}): ms per 12-block chain",
+          flush=True)
     for name, (fn, args) in cases.items():
         fwd = jax.jit(fn)
         grad = jax.jit(lambda *a, fn=fn: jax.grad(fn)(*a))

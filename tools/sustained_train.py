@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Sustained pretrain run on the chip: N consecutive fused train steps on a
+fixed synthetic pair pool, with a mid-run checkpoint + resume-continuity check.
+
+Purpose (VERDICT r2 #4): show the full recipe — fused fwd+bwd megakernels,
+4-group AdamW + milestone schedule, bf16 grads — actually TRAINS: loss_ct /
+loss_ce descend and sort accuracy rises over hundreds of consecutive steps,
+and an orbax checkpoint taken mid-run resumes onto the same trajectory.
+Mirrors the role of the reference's training loop
+(/root/reference/v2/base/base_trainer.py:81-146) without its datasets.
+
+Data: K distinct (video, 4-clip text, sort permutation) batches built once on
+the DEVICE (no per-step host transfer over the tunnel) and cycled
+deterministically, so the contrastive + sort tasks are learnable (overfit).
+
+Usage: python tools/sustained_train.py [--steps 400] [--ckpt_at 250] [-B 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvts_tpu.models import TVTSv2, tvtsv2_b_16
+from tvts_tpu.models.factory import init_params
+from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+from tvts_tpu.train.step import TrainState, create_train_state, make_train_step
+from tvts_tpu.utils.checkpoint import CheckpointManager
+
+
+def build_batches(cfg, B, n_batches, seed=0):
+    """n_batches distinct device-resident batches (fixed pool -> learnable)."""
+    v = cfg.vision
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        video = rng.normal(size=(B, v.num_frames, 3, 224, 224)) \
+            .astype(np.float32)
+        ids = np.concatenate([
+            np.full((cfg.num_clips * B, 1), 49406, np.int32),
+            rng.integers(1, 49000, size=(cfg.num_clips * B, 75))
+            .astype(np.int32),
+            np.full((cfg.num_clips * B, 1), 49407, np.int32)], axis=1)
+        keep = np.stack([rng.permutation(v.patches_per_frame)[: v.n_keep]
+                         for _ in range(B)]).astype(np.int32)
+        labels = np.stack([rng.permutation(cfg.num_clips)
+                           for _ in range(B)]).astype(np.int32)
+        batches.append({
+            "video": jax.device_put(jnp.asarray(video)),
+            "text_ids": jax.device_put(jnp.asarray(ids)),
+            "keep_ind": jax.device_put(jnp.asarray(keep)),
+            "labels": jax.device_put(jnp.asarray(labels)),
+        })
+    return batches
+
+
+def make_step(cfg, model, params, lr, steps_per_epoch):
+    ocfg = OptimizerConfig(lr_new=lr, schedule=(6, 8),
+                           steps_per_epoch=steps_per_epoch)
+    tx = make_optimizer(params, ocfg)
+    from tvts_tpu.ops.fused_forward import make_fused_train_apply
+
+    apply_fn = make_fused_train_apply(
+        model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep)
+    # donate=False: resume-continuity reruns from a restored state object
+    return tx, make_train_step(model, tx, donate=False, apply_fn=apply_fn)
+
+
+def run(step_fn, state, batches, start, stop, log_every=25, tag=""):
+    """Steps [start, stop), cycling batches deterministically by step index."""
+    history = {}
+    t0 = time.perf_counter()
+    for i in range(start, stop):
+        state, aux = step_fn(state, batches[i % len(batches)])
+        loss = float(aux["loss"])  # fetch = forces execution on the tunnel
+        history[i] = {"loss": loss, "loss_ct": float(aux["loss_ct"]),
+                      "loss_ce": float(aux["loss_ce"]),
+                      "sort_acc": float(aux["sort_acc"])}
+        if i % log_every == 0 or i == stop - 1:
+            el = time.perf_counter() - t0
+            print(f"{tag}step {i:4d}  loss {loss:8.4f}  "
+                  f"ct {history[i]['loss_ct']:8.4f}  "
+                  f"ce {history[i]['loss_ce']:8.4f}  "
+                  f"sort_acc {history[i]['sort_acc']:.3f}  "
+                  f"[{(i - start + 1) / el:5.2f} steps/s]", flush=True)
+    return state, history
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--ckpt_at", type=int, default=250)
+    ap.add_argument("-B", "--batch_size", type=int, default=32)
+    ap.add_argument("--n_batches", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--resume_tail", type=int, default=50,
+                    help="steps to replay from the checkpoint for continuity")
+    ap.add_argument("--out", default="results/sustained_train")
+    args = ap.parse_args()
+
+    cfg = tvtsv2_b_16()
+    model = TVTSv2(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, cfg)
+    tx, step_fn = make_step(cfg, model, params, args.lr, args.steps)
+    state = create_train_state(params, tx)
+    batches = build_batches(cfg, args.batch_size, args.n_batches)
+    print(f"pool: {args.n_batches} x B={args.batch_size} device-resident "
+          f"batches; {args.steps} steps, checkpoint at {args.ckpt_at}")
+
+    os.makedirs(args.out, exist_ok=True)
+    ckpt = CheckpointManager(args.out, save_period=1)
+
+    state, hist1 = run(step_fn, state, batches, 0, args.ckpt_at)
+    ckpt.save_step(int(state.step), {
+        "params": state.params, "opt_state": state.opt_state,
+        "step": state.step})
+    print(f"checkpoint saved at step {int(state.step)}")
+    mid_state = state
+    state, hist2 = run(step_fn, state, batches, args.ckpt_at, args.steps)
+    history = {**hist1, **hist2}
+
+    # ---- resume-continuity: restore + replay the next resume_tail steps ----
+    target = {"params": mid_state.params, "opt_state": mid_state.opt_state,
+              "step": mid_state.step}
+    restored = ckpt.restore(f"step{args.ckpt_at}", target)
+    rstate = TrainState(step=restored["step"], params=restored["params"],
+                        opt_state=restored["opt_state"])
+    stop = min(args.ckpt_at + args.resume_tail, args.steps)
+    _, rhist = run(step_fn, rstate, batches, args.ckpt_at, stop, tag="resume ")
+    max_dev = max(abs(rhist[i]["loss"] - history[i]["loss"])
+                  for i in rhist)
+    print(f"resume continuity: max |loss dev| over {len(rhist)} replayed "
+          f"steps = {max_dev:.3e}")
+
+    first = history[0]
+    last = history[args.steps - 1]
+    w0 = np.mean([history[i]["loss"] for i in range(min(10, args.steps))])
+    w1 = np.mean([history[i]["loss"]
+                  for i in range(args.steps - 10, args.steps)])
+    summary = {
+        "steps": args.steps, "B": args.batch_size,
+        "loss_first": first["loss"], "loss_last": last["loss"],
+        "loss_first10_mean": float(w0), "loss_last10_mean": float(w1),
+        "ct_first": first["loss_ct"], "ct_last": last["loss_ct"],
+        "ce_first": first["loss_ce"], "ce_last": last["loss_ce"],
+        "sort_acc_last10_mean": float(np.mean(
+            [history[i]["sort_acc"]
+             for i in range(args.steps - 10, args.steps)])),
+        "resume_max_loss_dev": max_dev,
+        "descended": bool(w1 < w0),
+        "resume_ok": bool(max_dev < 1e-2 * max(1.0, abs(w1))),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump({"summary": summary,
+                   "history": {str(k): v for k, v in history.items()}}, f)
+    print(json.dumps(summary, indent=2))
+    ok = summary["descended"] and summary["resume_ok"]
+    print("SUSTAINED TRAIN OK" if ok else "SUSTAINED TRAIN SUSPECT")
+    return ok
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -1,7 +1,17 @@
 #!/usr/bin/env python
-"""Pretraining-step throughput: full TVTSv2 B/16 train step (mask 0.5, 4-clip
-text, sort head, backward + AdamW) on the local chip."""
+"""Pretraining-step throughput: full TVTSv2 train step (masked tower, n-clip
+text, sort head, backward + AdamW) on the local chip.
 
+Covers all three towers (--arch TVTSv2_B_16 / TVTSv2_B_32 / TVTSv2_H_14);
+reference counterparts v2/train_dist_TVTSv2_ViT_*.py. H/14 runs the 842M-param
+tower at mask 0.7 in bf16 + fp32 LNs (VERDICT r2 #3: first H/14 train-step
+hardware numbers).
+
+Env knobs: TB (batch), TVTS_TPU_TRAIN_FUSED=1, TVTS_TIME_CHUNK,
+TVTS_MLP_MODE, TVTS_SPACE_MODE, TVTS_TIME_MODE.
+"""
+
+import argparse
 import os
 import sys
 import time
@@ -12,30 +22,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvts_tpu.models import TVTSv2, tvtsv2_b_16
+from tvts_tpu.models import TVTSv2
+from tvts_tpu.models.configs import MODEL_REGISTRY
 from tvts_tpu.models.factory import init_params
 from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
 from tvts_tpu.train.step import create_train_state, make_train_step
 
 
 def main():
-    B = int(os.environ.get("TB", 8))
-    cfg = tvtsv2_b_16()
-    model = TVTSv2(cfg, dtype=jnp.bfloat16)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="TVTSv2_B_16",
+                    choices=sorted(k for k in MODEL_REGISTRY
+                                   if k.startswith("TVTSv2")))
+    ap.add_argument("-B", "--batch", type=int,
+                    default=int(os.environ.get("TB", 8)))
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="activation checkpointing on the tower (XLA path)")
+    args = ap.parse_args()
+    B = args.batch
+
+    cfg = MODEL_REGISTRY[args.arch]()
+    model = TVTSv2(cfg, dtype=jnp.bfloat16, remat=args.remat)
     v = cfg.vision
+    res = v.input_resolution
     rng = np.random.default_rng(0)
     batch = {
-        "video": jnp.asarray(rng.normal(size=(B, v.num_frames, 3, 224, 224)).astype(np.float32)),
+        "video": jnp.asarray(rng.normal(
+            size=(B, v.num_frames, 3, res, res)).astype(np.float32)),
         "text_ids": jnp.asarray(np.concatenate([
             np.full((cfg.num_clips * B, 1), 49406, np.int32),
-            rng.integers(1, 49000, size=(cfg.num_clips * B, 75)).astype(np.int32),
+            rng.integers(1, 49000,
+                         size=(cfg.num_clips * B, 75)).astype(np.int32),
             np.full((cfg.num_clips * B, 1), 49407, np.int32)], axis=1)),
         "keep_ind": jnp.asarray(np.stack([
             rng.permutation(v.patches_per_frame)[: v.n_keep] for _ in range(B)
         ]).astype(np.int32)),
-        "labels": jnp.asarray(np.tile(np.arange(4), (B, 1)).astype(np.int32)),
+        "labels": jnp.asarray(np.tile(np.arange(cfg.num_clips),
+                                      (B, 1)).astype(np.int32)),
     }
+    t0 = time.perf_counter()
     params = init_params(model, cfg)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print(f"init {time.perf_counter()-t0:.1f}s; {n_params/1e6:.0f}M params; "
+          f"tokens/clip {1 + v.num_frames * v.n_keep} (mask {v.mask_ratio})")
     ocfg = OptimizerConfig(schedule=(6, 8), steps_per_epoch=1000)
     tx = make_optimizer(params, ocfg)
     state = create_train_state(params, tx)
@@ -47,13 +78,16 @@ def main():
             model, cfg, num_frames=v.num_frames, n_keep=v.n_keep,
             time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
             mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
-            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"))
+            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"),
+            time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"))
         print("fused train path (Pallas fwd+bwd megakernels)")
     step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 
+    t0 = time.perf_counter()
     state, aux = step(state, batch)
     float(aux["loss"])  # force compile + first step
-    iters = 8
+    print(f"compile+first {time.perf_counter()-t0:.1f}s")
+    iters = args.iters
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -61,7 +95,7 @@ def main():
             state, aux = step(state, batch)
         float(aux["loss"])
         dt = min(dt, (time.perf_counter() - t0) / iters)
-    print(f"B/16 pretrain step (B={B}): {dt * 1000:.1f} ms = "
+    print(f"{args.arch} pretrain step (B={B}): {dt * 1000:.1f} ms = "
           f"{B / dt:.2f} clips/s/chip, loss {float(aux['loss']):.3f} "
           f"sort_acc {float(aux['sort_acc']):.3f}")
 

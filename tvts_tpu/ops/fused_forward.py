@@ -25,6 +25,7 @@ from tvts_tpu.ops.pallas_block_attention import (
     fused_space_attention_block_v2,
     fused_time_attention_block,
     fused_time_attention_block_v2,
+    fused_time_attention_block_v4,
 )
 
 
@@ -70,12 +71,16 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
     Returns (pooled, tokens) per the config's pool_style."""
     x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
     n_keep = (x.shape[1] - 1) // T
-    if kernel_version == 2:
+    if kernel_version in (2, 4):
         # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
-        # no XLA-side k/v round-trips or [B,TN,H,d] tile-inflated reshapes
+        # no XLA-side k/v round-trips or [B,TN,H,d] tile-inflated reshapes.
+        # v4 = v2 with the T-leading d-major time kernel (2 transpose sets
+        # per program instead of 4; ops/pallas_block_attention.py).
+        time_block = (fused_time_attention_block_v4 if kernel_version == 4
+                      else fused_time_attention_block_v2)
         for i in range(cfg.layers):
             bp = params[f"blocks_{i}"]
-            time_residual = fused_time_attention_block_v2(
+            time_residual = time_block(
                 x,
                 bp["ln_3"]["scale"], bp["ln_3"]["bias"],
                 bp["timeattn"]["qkv"]["kernel"].astype(dtype),
@@ -176,6 +181,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              dtype=jnp.bfloat16, time_chunk: int = 128,
                              mlp_chunk: int = 256, mlp_mode: str = "xla",
                              space_mode: str = "pallas",
+                             time_mode: str = "pallas",
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -198,8 +204,19 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                          "('pallas', 'pallas_v2', 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
-    time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
-                               chunk=time_chunk, interpret=interpret)
+    if time_mode not in ("pallas", "pallas_v3"):
+        raise ValueError(f"time_mode {time_mode!r} not in "
+                         "('pallas', 'pallas_v3')")
+    if time_mode == "pallas_v3":
+        # v3 d-major T-leading backward (transposed saves): see
+        # ops/pallas_block_backward.make_time_subpath_v3 + PERF.md round 3
+        from tvts_tpu.ops.pallas_block_backward import make_time_subpath_v3
+
+        time_f = make_time_subpath_v3(num_frames, n_keep, cfg.heads,
+                                      chunk=time_chunk, interpret=interpret)
+    else:
+        time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
+                                   chunk=time_chunk, interpret=interpret)
     if space_mode == "pallas":
         # v3 d-major head-batched kernels: space sub-path fwd+bwd measured
         # 145.1 vs 167.2 ms/12 blocks for the per-head v2 pair at B=32
@@ -260,6 +277,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
 def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
                            mlp_mode: str = "xla", space_mode: str = "pallas",
+                           time_mode: str = "pallas",
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
@@ -268,6 +286,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          dtype=dtype, time_chunk=time_chunk,
                                          mlp_mode=mlp_mode,
                                          space_mode=space_mode,
+                                         time_mode=time_mode,
                                          interpret=interpret)
 
     def apply(params, batch):

@@ -428,7 +428,8 @@ def _ln_fn(ln_s, ln_b):
 
 def _make_time_block_kernel_v2(H: int, T: int, N: int,
                                save_stats: bool = False,
-                               save_acts: bool = False):
+                               save_acts: bool = False,
+                               save_transposed: bool = False):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                o_ref, ocls_ref, *rest):
@@ -470,7 +471,7 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         q = q.astype(dtype).reshape(T, Nc, D)
         k = k.astype(dtype).reshape(T, Nc, D)
         v = v.astype(dtype).reshape(T, Nc, D)
-        if save_acts:
+        if save_acts and not save_transposed:
             q_ref[0] = q
             k_ref[0] = k
             v_ref[0] = v
@@ -507,6 +508,13 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         q4 = to_heads4(q)                                  # [H, T, d, Nc]
         k4 = to_heads4(k)
         v4 = to_heads4(v)
+        if save_acts and save_transposed:
+            # d-major saves for the v3 backward ([T, D, Nc]): the [H,T,d,Nc]
+            # head tiles already exist, so this is a leading-dim transpose +
+            # sublane merge (no lane<->sublane traffic)
+            for a4, ref in ((q4, q_ref), (k4, k_ref), (v4, v_ref)):
+                ref[0] = jnp.transpose(a4, (1, 0, 2, 3)) \
+                    .reshape(T, D, Nc).astype(dtype)
         ck4 = kc.T.reshape(H, d, 1)                        # fp32
         cv4 = vc.T.reshape(H, d, 1)
         qc4 = q_cls.T.reshape(H, d, 1)
@@ -540,8 +548,10 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
         attn = jnp.stack(outs_t)                           # [T, D, Nc]
+        if save_acts and save_transposed:
+            attn_ref[0] = attn                             # native d-major
         attn = jnp.swapaxes(attn, -1, -2).reshape(T * Nc, D)
-        if save_acts:
+        if save_acts and not save_transposed:
             attn_ref[0] = attn.reshape(T, Nc, D)
         proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32) \
             + bproj_ref[:].astype(jnp.float32)
@@ -570,13 +580,17 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   patches_per_frame: int, num_heads: int,
                                   chunk: int = 128, save_stats: bool = False,
                                   save_acts: bool = False,
+                                  save_transposed: bool = False,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
 
     save_acts (with save_stats): also emits q/k/v and the pre-projection
     attention output ([B,T,Np,D] each, q pre-scaled) so the backward skips
-    the re-projection matmuls and output recompute (see the space variant)."""
+    the re-projection matmuls and output recompute (see the space variant).
+    save_transposed: the saved activations come back d-major ([B,T,D,Np])
+    for the v3 backward, written from the head tiles the forward already
+    holds (leading-dim transposes only)."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     assert S == 1 + T * N
@@ -614,11 +628,18 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                    memory_space=pltpu.VMEM)]
         out_shape += [jax.ShapeDtypeStruct((B, 1, num_heads), jnp.float32),
                       jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
-        if save_acts:
+        if save_acts and save_transposed:
+            chunkT_spec = pl.BlockSpec((1, T, D, chunk),
+                                       lambda b, c: (b, 0, 0, c),
+                                       memory_space=pltpu.VMEM)
+            out_specs += [chunkT_spec] * 4
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, Np), x.dtype)] * 4
+        elif save_acts:
             out_specs += [chunk_spec] * 4
             out_shape += [jax.ShapeDtypeStruct((B, T, Np, D), x.dtype)] * 4
     outs = pl.pallas_call(
-        _make_time_block_kernel_v2(num_heads, T, N, save_stats, save_acts),
+        _make_time_block_kernel_v2(num_heads, T, N, save_stats, save_acts,
+                                   save_transposed),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
@@ -1189,3 +1210,182 @@ def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
     if save_stats:
         return out, outs[2], outs[3]
     return out
+
+
+# ---------------------------------------------------------------------------
+# v4 TIME forward: T-leading, d-major internals (extraction fast path).
+#
+# The v2 time kernel builds [H, T, d, Nc] head tiles with per-head
+# swapaxes+stack for q/k/v (3 transpose sets) and transposes the attention
+# output back to row-major (a 4th). v4 transposes the LN output once
+# ([T, Nc, D] -> [T, D, Nc]), projects qkv per frame in lhsT-native form
+# (wqkvT @ x_lnT, zero-pad at Nc=128 lanes), runs the attention chain
+# T-leading, and pays one transpose back on the projected output — 2 sets
+# instead of 4, with identical math. Same per-sub-path contract as v2.
+# ---------------------------------------------------------------------------
+
+
+def _make_time_block_kernel_v4(H: int, T: int, N: int):
+    def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """Grid (B, C), c minor. o = x + proj (residual folded); ocls written
+        at the last chunk from the online CLS softmax state."""
+        Nc = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        c = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = o_ref.dtype
+
+        ln_s = ln_s_ref[0].astype(f32)
+        ln_b = ln_b_ref[0].astype(f32)
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        layernorm = _ln_fn(ln_s, ln_b)
+        x_flat = x_ref[0].reshape(T * Nc, D)
+        x_ln = layernorm(x_flat).astype(dtype)             # row-major LN
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
+
+        # one transpose set in: [T, Nc, D] -> [T, D, Nc]
+        x_lnT = jnp.swapaxes(x_ln.reshape(T, Nc, D), -1, -2)
+
+        qs, ks, vs = [], [], []
+        for t in range(T):
+            qkvT_t = jnp.dot(wqkvT_ref[:], x_lnT[t],
+                             preferred_element_type=f32)   # [3D, Nc]
+            qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
+            ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
+            vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
+
+        # [T, D, Nc] stacks -> [H, T, d, Nc] head tiles: sublane split +
+        # leading transpose only. The softmax math stays H-leading (axis-1
+        # reductions) — T-leading axis-0 3D reductions hit Mosaic
+        # "Unsupported output implicit dimension" in context.
+        def heads(ts):
+            return jnp.transpose(jnp.stack(ts).reshape(T, H, d, Nc),
+                                 (1, 0, 2, 3)).astype(f32)
+
+        q4 = heads(qs)
+        k4 = heads(ks)
+        v4 = heads(vs)
+
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_ln.T,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = (qkv_cT[:D] + bqT).reshape(H, d, 1) * scale
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        @pl.when(c == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones((H, 1), f32)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        # ---- per-location time attention (H-leading, v2 math) --------------
+        outs_t = []
+        for t in range(T):
+            qt = q4[:, t]                                  # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
+            cls_l = jnp.sum(qt * kc3, axis=1)[:, None]     # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)      # [H, 1, Nc]
+            out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
+            out_t = out_t + p[:, 0][:, None, :] * vc3
+            outs_t.append((out_t / denom).astype(dtype).reshape(D, Nc))
+
+        # ---- CLS row: online accumulation over this chunk's valid keys -----
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
+        valid = loc < N
+        lc_all = jnp.sum(k4 * qc3[:, None], axis=2)        # [H, T, Nc]
+        lc_all = jnp.where(valid[None], lc_all, -1e30)
+        c_max = jnp.max(jnp.max(lc_all, axis=2), axis=1, keepdims=True)
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)                  # [H, 1]
+        corr = jnp.exp(m_old - m_new)
+        p_c = jnp.exp(lc_all - m_new[..., None])           # [H, T, Nc]
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr \
+            + jnp.sum(jnp.sum(p_c, axis=2), axis=1, keepdims=True)
+        pv = jnp.sum(v4 * p_c[:, :, None, :], axis=(1, 3))     # [H, d]
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv[..., None]
+
+        # ---- projection + residual (one transpose set out) -----------------
+        proj_rows = []
+        for t in range(T):
+            projT_t = jnp.dot(wprojT_ref[:], outs_t[t],
+                              preferred_element_type=f32) \
+                + bprojT_ref[:].astype(f32)                # [D, Nc]
+            proj_rows.append(projT_t.T)                    # [Nc, D]
+        proj = jnp.concatenate(proj_rows, axis=0)          # [T*Nc, D]
+        o_ref[0] = (x_flat.astype(f32) + proj).reshape(T, Nc, D).astype(dtype)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) \
+                + bprojT_ref[:].astype(f32)                # [D, 1]
+            ocls_ref[0] = (cls_ref[0].astype(f32) + projcT.T).astype(dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v4(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                  bproj, num_frames: int,
+                                  patches_per_frame: int, num_heads: int,
+                                  chunk: int = 128,
+                                  interpret: bool = False):
+    """T-leading forward-only time sub-path (extraction): same contract as
+    fused_time_attention_block_v2 without the stats/acts outputs."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    n_pad = (-N) % chunk
+    if n_pad:
+        x_p = jnp.pad(x_p, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    chunk_spec = pl.BlockSpec((1, T, chunk, D), lambda b, c: (b, 0, c, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    out_p, out_cls = pl.pallas_call(
+        _make_time_block_kernel_v4(H, T, N),
+        grid=(B, Np // chunk),
+        in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkvT_spec,
+                  vecT_spec, vecT_spec, vecT_spec, wprojT_spec, vecT_spec],
+        out_specs=(chunk_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1))
+    return jnp.concatenate([out_cls,
+                            out_p[:, :, :N].reshape(B, T * N, D)], axis=1)

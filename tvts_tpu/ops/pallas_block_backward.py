@@ -1151,3 +1151,327 @@ def make_space_subpath_v3(num_frames: int, patches_per_frame: int,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# v3 TIME backward: d-major saves, head-batched, transpose-light.
+#
+# The v2 time backward rebuilds [H, T, d, Nc] head tiles with per-head
+# swapaxes+stack for FOUR tensors (q/k/v/dattn) and transposes THREE gradient
+# tensors back to row-major (to_flat) — ~7 full-tensor lane<->sublane
+# transpose sets per program. Here the forward saves q/k/v/attn d-major
+# ([B, T, D, Np], written from head tiles it already holds), the head tiles
+# come back via sublane-split reshapes + leading-dim transposes (no
+# lane<->sublane traffic), and the weight gradients contract per frame in
+# d-major/lhsT-native orientation. Only two lane<->sublane transpose sets
+# remain per program: dattn row-major -> d-major and dxln back. The softmax
+# chain stays H-leading ([H, T+1, Nc], axis-1 reductions) — T-leading axis-0
+# reductions of 3D vectors hit Mosaic "Unsupported output implicit dimension"
+# in context (standalone probes pass; tools/mosaic_probe.py).
+# Same recipe that took the space backward 110.8 -> 90.3 ms (v3 space).
+# ---------------------------------------------------------------------------
+
+
+def _make_time_bwd_kernel_v3(H: int, T: int, N: int):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wprojT_ref,
+               lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
+               dx_ref, dxcls_ref, dwqkvT_ref, dbq_hd_ref, dbk_hd_ref,
+               dbv_hd_ref, dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+               dqc_scr, dck_scr, dcv_scr):
+        """Grid (B, C), c minor. Residual folded (dx = g + LN path)."""
+        Nc = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        c = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (c == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkvT_ref, dbq_hd_ref, dbk_hd_ref, dbv_hd_ref,
+                        dwproj_ref, dbproj_ref, dls_ref, dlb_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(c == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_s = ln_s_ref[0].astype(f32)
+        ln_b = ln_b_ref[0].astype(f32)
+        bq = bq_ref[:].astype(f32)
+        bk = bk_ref[:].astype(f32)
+        bv = bv_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        # ---- recompute LN (row-major; x/g/dx stay row-major) --------------
+        x_flat = x_ref[0].reshape(T * Nc, D)
+        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b)
+        x_ln = x_ln_f.astype(dtype)
+        cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
+        cls_ln = cls_ln_f.astype(dtype)
+
+        # saved d-major activations -> [H, T, d, Nc] head tiles (sublane
+        # split + leading transpose; no lane<->sublane traffic)
+        def heads(ref):
+            return jnp.transpose(ref[0].reshape(T, H, d, Nc),
+                                 (1, 0, 2, 3)).astype(f32)
+
+        q4 = heads(qT_ref)
+        k4 = heads(kT_ref)
+        v4 = heads(vT_ref)
+
+        # CLS q/k/v recomputed row-major, reshaped to [H, d, 1]
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=f32) + bq) * scale    # [1, D]
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=f32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=f32) + bv
+        qc4 = qc.T.reshape(H, d, 1)
+        kc4 = kc.T.reshape(H, d, 1)
+        vc4 = vc.T.reshape(H, d, 1)
+
+        # upstream grads: one row-major reprojection matmul, one transpose set
+        g_flat = g_ref[0].reshape(T * Nc, D)
+        dattn = jnp.dot(g_flat, wprojT_ref[:],
+                        preferred_element_type=f32)       # [T*Nc, D]
+        dout4 = jnp.transpose(
+            jnp.swapaxes(dattn.astype(dtype).reshape(T, Nc, D), -1, -2)
+            .reshape(T, H, d, Nc), (1, 0, 2, 3)).astype(f32)  # [H, T, d, Nc]
+        gcls = gcls_ref[0]                                # [1, D]
+        dattn_c = jnp.dot(gcls, wprojT_ref[:],
+                          preferred_element_type=f32)     # [1, D]
+        dout_c4 = dattn_c.T.reshape(H, d, 1)
+        acls4 = acls_ref[0].T.reshape(H, d, 1)            # fp32
+        lse2 = lse_ref[0].T                               # [H, 1]
+        lse4 = lse2[..., None]                            # [H, 1, 1]
+
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
+        valid = loc < N                                   # [T, Nc]
+
+        # ---- attention backward (H-leading, v2 math on v3 layout) ----------
+        dk4 = jnp.zeros_like(k4)
+        dv4 = jnp.zeros_like(v4)
+        dq_ts = []
+        for t in range(T):
+            qt = q4[:, t]                                 # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)         # [H, T, Nc]
+            cls_l = jnp.sum(qt * kc4, axis=1)[:, None]    # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)    # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            pn = p / denom                                # [H, T+1, Nc]
+
+            dout_t = dout4[:, t]                          # [H, d, Nc]
+            dv4 = dv4 + pn[:, 1:][:, :, None] * dout_t[:, None]
+            dcv_scr[...] += jnp.sum(pn[:, 0][:, None, :] * dout_t, axis=2,
+                                    keepdims=True)
+            dp = jnp.sum(v4 * dout_t[:, None], axis=2)    # [H, T, Nc]
+            dp_cls = jnp.sum(vc4 * dout_t, axis=1)[:, None]   # [H, 1, Nc]
+            full_dp = jnp.concatenate([dp_cls, dp], axis=1)
+            rowsum = jnp.sum(pn * full_dp, axis=1, keepdims=True)
+            ds = pn * (full_dp - rowsum)                  # [H, T+1, Nc]
+            dq_ts.append(jnp.sum(ds[:, 1:][:, :, None] * k4, axis=1)
+                         + ds[:, 0][:, None, :] * kc4)    # [H, d, Nc]
+            dk4 = dk4 + ds[:, 1:][:, :, None] * qt[:, None]
+            dck_scr[...] += jnp.sum(ds[:, 0][:, None, :] * qt, axis=2,
+                                    keepdims=True)
+
+        # ---- CLS row over this chunk's (valid) keys ------------------------
+        delta4 = jnp.sum(acls4 * dout_c4, axis=1, keepdims=True)  # [H, 1, 1]
+        lrow = jnp.sum(k4 * qc4[:, None], axis=2)         # [H, T, Nc]
+        pn_row = jnp.where(valid[None], jnp.exp(lrow - lse4), 0.0)
+        dv4 = dv4 + pn_row[:, :, None, :] * dout_c4[:, None]
+        dp_row = jnp.sum(v4 * dout_c4[:, None], axis=2)   # [H, T, Nc]
+        ds_row = pn_row * (dp_row - delta4)
+        dqc_scr[...] += jnp.sum(ds_row[:, :, None, :] * k4,
+                                axis=(1, 3))[:, :, None]
+        dk4 = dk4 + ds_row[:, :, None, :] * qc4[:, None]
+
+        @pl.when(c == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc4 * kc4, axis=1) - lse2)   # [H, 1]
+            dcv_scr[...] += p_self[..., None] * dout_c4
+            dp_self = jnp.sum(vc4 * dout_c4, axis=1)      # [H, 1]
+            ds_self = p_self * (dp_self - delta4[:, :, 0])
+            dqc_scr[...] += ds_self[..., None] * kc4
+            dck_scr[...] += ds_self[..., None] * qc4
+
+        # ---- projection grads (saved d-major attn; g row-major) ------------
+        for t in range(T):
+            dwproj_ref[...] += jnp.dot(attnT_ref[0, t], g_ref[0, t],
+                                       preferred_element_type=f32)
+        dbproj_ref[...] += jnp.sum(g_flat.astype(f32), axis=0, keepdims=True)
+
+        # ---- qkv weight/bias/input grads, per frame d-major ----------------
+        dq4 = jnp.stack(dq_ts, axis=1) * scale            # [H, T, d, Nc] f32
+        dbq_hd_ref[...] += jnp.sum(dq4, axis=(1, 3))
+        dbk_hd_ref[...] += jnp.sum(dk4, axis=(1, 3))
+        dbv_hd_ref[...] += jnp.sum(dv4, axis=(1, 3))
+
+        # [H,T,d,Nc] -> [T,D,Nc] (leading transpose + sublane merge)
+        def to_tdn(a4):
+            return jnp.transpose(a4, (1, 0, 2, 3)).reshape(T, D, Nc)
+
+        dqT = to_tdn(dq4)
+        dkT = to_tdn(dk4)
+        dvT = to_tdn(dv4)
+
+        dxln_rows = []
+        for t in range(T):
+            dqkvT_t = jnp.concatenate([dqT[t], dkT[t], dvT[t]],
+                                      axis=0).astype(dtype)       # [3D, Nc]
+            x_ln_t = x_ln[t * Nc:(t + 1) * Nc]                    # [Nc, D]
+            dwqkvT_ref[...] += jnp.dot(dqkvT_t, x_ln_t,
+                                       preferred_element_type=f32)
+            dxlnT_t = jnp.dot(wqkv_ref[:], dqkvT_t,
+                              preferred_element_type=f32)         # [D, Nc]
+            dxln_rows.append(dxlnT_t.T)                           # [Nc, D]
+        dxln = jnp.concatenate(dxln_rows, axis=0)                 # [T*Nc, D]
+
+        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        # residual folded in the forward: dx = g + LN path
+        dx = g_flat.astype(f32) + _ln_bwd(dxln, xhat, rstd, ln_s)
+        dx_ref[0] = dx.reshape(T, Nc, D).astype(dx_ref.dtype)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqcT = dqc_scr[...].reshape(D, 1) * scale     # fp32
+            dkcT = dck_scr[...].reshape(D, 1)
+            dvcT = dcv_scr[...].reshape(D, 1)
+            dqkv_cT = jnp.concatenate([dqcT, dkcT, dvcT], axis=0).astype(dtype)
+            dwqkvT_ref[...] += jnp.dot(dqkv_cT, cls_ln,
+                                       preferred_element_type=f32)
+            dbq_hd_ref[...] += dqc_scr[..., 0] * scale
+            dbk_hd_ref[...] += dck_scr[..., 0]
+            dbv_hd_ref[...] += dcv_scr[..., 0]
+            dwproj_ref[...] += jnp.dot(acls_ref[0].astype(dtype).T, gcls,
+                                       preferred_element_type=f32)
+            dbproj_ref[...] += gcls.astype(f32)
+            dxln_c = jnp.dot(wqkv_ref[:], dqkv_cT,
+                             preferred_element_type=f32).T        # [1, D]
+            dls_ref[...] += jnp.sum(dxln_c * xhat_c, axis=0, keepdims=True)
+            dlb_ref[...] += jnp.sum(dxln_c, axis=0, keepdims=True)
+            dxcls_ref[0] = (gcls.astype(f32)
+                            + _ln_bwd(dxln_c, xhat_c, rstd_c, ln_s)) \
+                .astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                      wproj, lse, attn_cls, acts_saved,
+                                      num_frames: int, patches_per_frame: int,
+                                      num_heads: int, chunk: int = 128,
+                                      interpret: bool = False):
+    """Backward matching the v2 time forward with save_transposed=True
+    (acts_saved holds the d-major qT/kT/vT/attnT [B,T,D,Np])."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+    n_pad = (-N) % chunk
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        x_p = jnp.pad(x_p, pad)
+        g_p = jnp.pad(g_p, pad)
+    Np = N + n_pad
+    b3 = bqkv.reshape(3, D)
+
+    chunk_spec = pl.BlockSpec((1, T, chunk, D), lambda b, c: (b, 0, c, 0),
+                              memory_space=pltpu.VMEM)
+    chunkT_spec = pl.BlockSpec((1, T, D, chunk), lambda b, c: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    hd_spec = pl.BlockSpec((H, d), lambda b, c: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_time_bwd_kernel_v3(H, T, N),
+        grid=(B, Np // chunk),
+        in_specs=[chunk_spec, cls_spec, chunk_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, lse_spec, cls_spec]
+        + [chunkT_spec] * 4,
+        out_specs=(chunk_spec, cls_spec, wqkvT_spec, hd_spec, hd_spec,
+                   hd_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, Np, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj.T, lse,
+      attn_cls.reshape(B, 1, D), *acts_saved)
+    (dx_p, dx_cls, dwqkvT, dbq_hd, dbk_hd, dbv_hd, dwproj, dbproj, dls,
+     dlb) = outs
+    dx = jnp.concatenate([dx_cls, dx_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbq_hd.reshape(D), dbk_hd.reshape(D),
+                             dbv_hd.reshape(D)])
+    return dx, dls[0], dlb[0], dwqkvT.T, dbqkv, dwproj, dbproj[0]
+
+
+def make_time_subpath_v3(num_frames: int, patches_per_frame: int,
+                         num_heads: int, chunk: int = 128,
+                         interpret: bool = False):
+    """d-major T-leading differentiable time sub-path (v2 forward with
+    transposed saves + v3 backward). Same contract as make_time_subpath."""
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_time_attention_block_v2(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
+            patches_per_frame=N, num_heads=H, chunk=chunk, interpret=interpret)
+
+    def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        out, lse, acls, qT, kT, vT, attnT = fused_time_attention_block_v2(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
+            patches_per_frame=N, num_heads=H, chunk=chunk, save_stats=True,
+            save_acts=True, save_transposed=True, interpret=interpret)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                     (qT, kT, vT, attnT))
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_time_attention_block_v3_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts,
+                num_frames=T, patches_per_frame=N, num_heads=H, chunk=chunk,
+                interpret=interpret)
+        return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
