@@ -53,12 +53,20 @@ def main():
 
         # v2 self-contained megakernels (in-kernel CLS row + folded residuals,
         # time chunk 128): 142 clips/s vs 94.2 for the round-1 v1 kernels
-        kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "2"))
+        # v4 = v2 with the T-leading time kernel (2 transpose sets/program
+        # instead of 4): 148.9 vs 143.4 clips/s, identical numerics band
+        kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "4"))
+        tchunk = int(os.environ.get("TVTS_TPU_BENCH_TCHUNK", "128"))
+        sv = int(os.environ.get("TVTS_TPU_BENCH_SV", "2"))
+        sfpp = int(os.environ.get("TVTS_TPU_BENCH_SFPP", "0")) or None
+        mchunk = int(os.environ.get("TVTS_TPU_BENCH_MCHUNK", "256"))
 
         @jax.jit
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
-                params, cfg, video, keep, kernel_version=kv, time_chunk=128)
+                params, cfg, video, keep, kernel_version=kv,
+                time_chunk=tchunk, space_version=sv, space_fpp=sfpp,
+                mlp_chunk=mchunk)
             return pooled
     else:
         @jax.jit

@@ -176,3 +176,41 @@ def test_fused_time_block_v4_matches_xla():
         num_frames=T, patches_per_frame=N, num_heads=H, chunk=8,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fpp", [1, 3])
+def test_fused_space_block_v5_matches_xla(fpp):
+    """v5 frame-batched space forward vs the XLA sub-path (incl. residual)."""
+    import flax.linen as nn
+
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v5
+
+    rng = np.random.default_rng(6)
+    B, T, N, D, H = 2, 3, 5, 32, 4
+    S = 1 + T * N
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)) * 0.5
+    base = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)) * 0.5
+
+    class SubPath(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = LayerNormF32(name="ln")(x)
+            return VarAttention(D, H, name="attn")(y, T, N, "space")
+
+    mod = SubPath()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(
+        lambda a: a + 0.02 * np.random.default_rng(7).normal(
+            size=a.shape).astype(np.float32), params)
+    want = np.asarray(base + mod.apply({"params": params}, x))
+
+    got = np.asarray(fused_space_attention_block_v5(
+        x, base,
+        jnp.asarray(params["ln"]["scale"]), jnp.asarray(params["ln"]["bias"]),
+        jnp.asarray(params["attn"]["qkv"]["kernel"]),
+        jnp.asarray(params["attn"]["qkv"]["bias"]),
+        jnp.asarray(params["attn"]["proj"]["kernel"]),
+        jnp.asarray(params["attn"]["proj"]["bias"]),
+        num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

@@ -69,8 +69,10 @@ def make_step(cfg, model, params, lr, steps_per_epoch):
 
     apply_fn = make_fused_train_apply(
         model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep)
-    # donate=False: resume-continuity reruns from a restored state object
-    return tx, make_train_step(model, tx, donate=False, apply_fn=apply_fn)
+    # donate=True: without donation the old+new optimizer states coexist and
+    # B=32 fused OOMs on one v5e; the resume-continuity replay restores a
+    # fresh state from disk, so no live reference to a donated buffer is kept
+    return tx, make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 
 
 def run(step_fn, state, batches, start, stop, log_every=25, tag=""):
@@ -122,13 +124,14 @@ def main():
         "params": state.params, "opt_state": state.opt_state,
         "step": state.step})
     print(f"checkpoint saved at step {int(state.step)}")
-    mid_state = state
     state, hist2 = run(step_fn, state, batches, args.ckpt_at, args.steps)
     history = {**hist1, **hist2}
 
     # ---- resume-continuity: restore + replay the next resume_tail steps ----
-    target = {"params": mid_state.params, "opt_state": mid_state.opt_state,
-              "step": mid_state.step}
+    # (the final state provides the target structure; its buffers are then
+    # donated away by the replay itself)
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step}
     restored = ckpt.restore(f"step{args.ckpt_at}", target)
     rstate = TrainState(step=restored["step"], params=restored["params"],
                         opt_state=restored["opt_state"])

@@ -23,6 +23,7 @@ from tvts_tpu.ops.pallas_block_attention import (
     fused_mlp_block,
     fused_space_attention_block,
     fused_space_attention_block_v2,
+    fused_space_attention_block_v5,
     fused_time_attention_block,
     fused_time_attention_block_v2,
     fused_time_attention_block_v4,
@@ -66,6 +67,9 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  fuse_mlp: bool = True,
                                  kernel_version: int = 2,
                                  time_chunk: int = 128,
+                                 space_version: int = 2,
+                                 space_fpp: int | None = None,
+                                 mlp_chunk: int = 256,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
     Returns (pooled, tokens) per the config's pool_style."""
@@ -78,6 +82,12 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
         # per program instead of 4; ops/pallas_block_attention.py).
         time_block = (fused_time_attention_block_v4 if kernel_version == 4
                       else fused_time_attention_block_v2)
+        if space_version == 5:
+            def space_block(x, base, *w, **kw):
+                return fused_space_attention_block_v5(
+                    x, base, *w, fpp=space_fpp, **kw)
+        else:
+            space_block = fused_space_attention_block_v2
         for i in range(cfg.layers):
             bp = params[f"blocks_{i}"]
             time_residual = time_block(
@@ -89,7 +99,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["timeattn"]["proj"]["bias"].astype(dtype),
                 num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
                 chunk=time_chunk, interpret=interpret)
-            space_residual = fused_space_attention_block_v2(
+            space_residual = space_block(
                 time_residual, x,
                 bp["ln_1"]["scale"], bp["ln_1"]["bias"],
                 bp["attn"]["qkv"]["kernel"].astype(dtype),
@@ -105,7 +115,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["mlp"]["c_fc"]["bias"].astype(dtype),
                 bp["mlp"]["c_proj"]["kernel"].astype(dtype),
                 bp["mlp"]["c_proj"]["bias"].astype(dtype),
-                act=cfg.act, interpret=interpret)
+                act=cfg.act, chunk=mlp_chunk, interpret=interpret)
         return _pool(params, cfg, x, dtype)
 
     for i in range(cfg.layers):

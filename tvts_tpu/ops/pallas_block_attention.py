@@ -1389,3 +1389,170 @@ def fused_time_attention_block_v4(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
       wproj.T, bproj.reshape(D, 1))
     return jnp.concatenate([out_cls,
                             out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# v5 SPACE forward: frame-batched per-head matmuls (extraction fast path).
+#
+# The v2 space kernel runs one frame per program: 384 programs each issuing
+# 24 small [N,64]-matmuls with a serial softmax chain between them. v5 keeps
+# the row-major layout (no lane-pad inflation at N=196, unlike v3) but
+# processes FPP frames per program and batches each head's matmuls over the
+# frame dim with batched dot_general ([FPP,N,d] x [FPP,N,d]) — 12 batched
+# matmuls + one [FPP,N,N+1]-wide softmax chain per program, FPP-times fewer
+# programs. Same contract as fused_space_attention_block_v2 (no stats).
+# ---------------------------------------------------------------------------
+
+
+def _make_space_block_kernel_v5(H: int, FPP: int):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """Grid (B, T // FPP), t minor. o = base + proj; CLS online softmax
+        across programs in scratch (finalized at the last program)."""
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        f32 = jnp.float32
+
+        layernorm = _ln_fn(ln_s_ref[0].astype(f32), ln_b_ref[0].astype(f32))
+        dtype = o_ref.dtype
+        x_ln = layernorm(x_ref[0].reshape(FPP * N, D)).astype(dtype)
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
+
+        bq = bq_ref[:].astype(f32)
+        bk = bk_ref[:].astype(f32)
+        bv = bv_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        q = ((jnp.dot(x_ln, wqkv_ref[:, :D], preferred_element_type=f32)
+              + bq) * scale).astype(dtype).reshape(FPP, N, D)
+        k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=f32) + bk) \
+            .astype(dtype).reshape(FPP, N, D)
+        v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=f32) + bv) \
+            .astype(dtype).reshape(FPP, N, D)
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=f32) + bq) * scale   # [1, D] f32
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=f32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=f32) + bv
+
+        @pl.when(t == 0)
+        def _init():
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                m_scr[h] = jnp.sum(qc[0, sl] * kc[0, sl])
+                l_scr[h] = 1.0
+                acc_scr[h, :] = vc[0, sl]
+
+        BATCH_F = (((2,), (2,)), ((0,), (0,)))   # contract d, batch frames
+        PV = (((2,), (1,)), ((0,), (0,)))        # probs x values, batch frames
+        outs = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]   # [FPP, N, d]
+            logits = jax.lax.dot_general(qh, kh, BATCH_F,
+                                         preferred_element_type=f32)
+            kch = kc[:, sl].astype(dtype)                     # [1, d]
+            cls_logit = jax.lax.dot_general(
+                qh, kch, (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # [FPP, N, 1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                            cls_logit)
+            p = jnp.exp(logits - m)                           # [FPP, N, N]
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            oh = jax.lax.dot_general(p.astype(dtype), vh, PV,
+                                     preferred_element_type=f32)
+            oh = (oh + p_cls * vc[:, sl][None].astype(f32)) / denom
+            outs.append(oh.astype(dtype))                     # [FPP, N, d]
+
+            # CLS row over these frames' keys (online)
+            lc = jax.lax.dot_general(
+                kh.astype(f32), qc[:, sl],
+                (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # [FPP, N, 1]
+            c_max = jnp.max(lc)
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old, c_max)
+            corr = jnp.exp(m_old - m_new)
+            p_c = jnp.exp(lc - m_new)                         # [FPP, N, 1]
+            m_scr[h] = m_new
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
+            pv = jnp.sum(vh.astype(f32) * p_c, axis=(0, 1))   # [d]
+            acc_scr[h, :] = acc_scr[h, :] * corr + pv
+
+        attn_out = jnp.concatenate(outs, axis=-1).reshape(FPP * N, D)
+        proj = jnp.dot(attn_out, wproj_ref[:], preferred_element_type=f32) \
+            + bproj_ref[:].astype(f32)
+        o_ref[0] = (base_ref[0].reshape(FPP * N, D).astype(f32) + proj) \
+            .reshape(FPP, N, D).astype(dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            rows = [acc_scr[h:h + 1, :] / l_scr[h] for h in range(H)]
+            cls_att = jnp.concatenate(rows, axis=1)           # [1, D] f32
+            projc = jnp.dot(cls_att.astype(dtype), wproj_ref[:],
+                            preferred_element_type=f32) \
+                + bproj_ref[:].astype(f32)
+            ocls_ref[0] = (basecls_ref[0].astype(f32) + projc).astype(dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
+                                   wproj, bproj, num_frames: int,
+                                   patches_per_frame: int, num_heads: int,
+                                   fpp: int | None = None,
+                                   interpret: bool = False):
+    """Frame-batched space sub-path forward (see kernel docstring). Same
+    contract as fused_space_attention_block_v2 without stats/acts."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N
+    if fpp is None:
+        fpp = T
+    if T % fpp != 0:
+        fpp = T
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    base_cls = base[:, :1]
+    base_p = base[:, 1:].reshape(B, T, N, D)
+
+    frame_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    out_p, out_cls = pl.pallas_call(
+        _make_space_block_kernel_v5(H, fpp),
+        grid=(B, T // fpp),
+        in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, vec_spec],
+        out_specs=(frame_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        scratch_shapes=[pltpu.SMEM((H,), jnp.float32),
+                        pltpu.SMEM((H,), jnp.float32),
+                        pltpu.VMEM((H, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
+      ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
+      bproj.reshape(1, D))
+    return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
