@@ -213,3 +213,24 @@ def test_fused_train_step_matches_xla(monkeypatch):
     step_f = make_train_step(model, tx, donate=False, apply_fn=apply_fn)
     state_f, aux_f = step_f(create_train_state(params, tx), batch)
     assert np.isfinite(float(aux_f["loss"]))
+
+
+@pytest.mark.parametrize("shape,fpp", [((2, 3, 5, 32), 1), ((2, 4, 5, 32), 4)])
+def test_space_subpath_v5_grads(shape, fpp):
+    """Frame-batched space backward (v5) vs jax.grad of the XLA path."""
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v5
+
+    B, T, N, D = shape
+    H = 4
+    args = _attn_args(9, B, T, N, D)
+    f = make_space_subpath_v5(T, N, H, fpp=fpp, interpret=True)
+    ref = _space_ref(T, N, H)
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)

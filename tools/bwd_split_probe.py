@@ -67,6 +67,10 @@ def main():
     time_v3 = make_time_subpath_v3(T, N, H, chunk=128)
     space_f = make_space_subpath(T, N, H)
     space_v3 = make_space_subpath_v3(T, N, H)
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v5
+
+    space_v5 = make_space_subpath_v5(
+        T, N, H, fpp=int(os.environ.get("FPP", "12")))
     mlp_f = make_mlp_subpath(act="quick_gelu", chunk=256)
 
     def chain(sub):
@@ -91,6 +95,8 @@ def main():
         "space/fused": (chain(lambda x, *w: space_f(x, x, *w)),
                         (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/v3": (chain(lambda x, *w: space_v3(x, x, *w)),
+                     (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
+        "space/v5": (chain(lambda x, *w: space_v5(x, x, *w)),
                      (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/xla": (chain(lambda x, ln_s, ln_b, wq, bq, wp, bp:
                             x + _var_attention_xla(

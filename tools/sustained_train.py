@@ -53,7 +53,9 @@ def build_batches(cfg, B, n_batches, seed=0):
         labels = np.stack([rng.permutation(cfg.num_clips)
                            for _ in range(B)]).astype(np.int32)
         batches.append({
-            "video": jax.device_put(jnp.asarray(video)),
+            # bf16 pool: the tower casts to bf16 at the stem anyway, and the
+            # f32 pool (+0.9 GB at B=32 x 8) tipped a near-full HBM over
+            "video": jax.device_put(jnp.asarray(video).astype(jnp.bfloat16)),
             "text_ids": jax.device_put(jnp.asarray(ids)),
             "keep_ind": jax.device_put(jnp.asarray(keep)),
             "labels": jax.device_put(jnp.asarray(labels)),

@@ -209,9 +209,9 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         make_time_subpath,
     )
 
-    if space_mode not in ("pallas", "pallas_v2", "xla"):
+    if space_mode not in ("pallas", "pallas_v2", "pallas_v5", "xla"):
         raise ValueError(f"space_mode {space_mode!r} not in "
-                         "('pallas', 'pallas_v2', 'xla')")
+                         "('pallas', 'pallas_v2', 'pallas_v5', 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
     if time_mode not in ("pallas", "pallas_v3"):
@@ -234,6 +234,13 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v3
 
         space_f = make_space_subpath_v3(num_frames, n_keep, cfg.heads,
+                                        interpret=interpret)
+    elif space_mode == "pallas_v5":
+        # frame-batched row-major kernels (batched per-head dot_generals,
+        # big-K weight grads, no in-kernel weight transposes)
+        from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v5
+
+        space_f = make_space_subpath_v5(num_frames, n_keep, cfg.heads,
                                         interpret=interpret)
     elif space_mode == "pallas_v2":
         space_f = make_space_subpath(num_frames, n_keep, cfg.heads,

@@ -1404,10 +1404,19 @@ def fused_time_attention_block_v4(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
 # ---------------------------------------------------------------------------
 
 
-def _make_space_block_kernel_v5(H: int, FPP: int):
+def _make_space_block_kernel_v5(H: int, FPP: int,
+                                save_stats: bool = False,
+                                save_acts: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
-               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
+        if save_stats and save_acts:
+            (lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         """Grid (B, T // FPP), t minor. o = base + proj; CLS online softmax
         across programs in scratch (finalized at the last program)."""
         N = x_ref.shape[2]
@@ -1433,6 +1442,10 @@ def _make_space_block_kernel_v5(H: int, FPP: int):
         v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
                      preferred_element_type=f32) + bv) \
             .astype(dtype).reshape(FPP, N, D)
+        if save_acts:
+            q_ref[0] = q
+            k_ref[0] = k
+            v_ref[0] = v
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=f32) + bq) * scale   # [1, D] f32
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -1485,7 +1498,10 @@ def _make_space_block_kernel_v5(H: int, FPP: int):
             pv = jnp.sum(vh.astype(f32) * p_c, axis=(0, 1))   # [d]
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
-        attn_out = jnp.concatenate(outs, axis=-1).reshape(FPP * N, D)
+        attn_cat = jnp.concatenate(outs, axis=-1)         # [FPP, N, D]
+        if save_acts:
+            attn_ref[0] = attn_cat
+        attn_out = attn_cat.reshape(FPP * N, D)
         proj = jnp.dot(attn_out, wproj_ref[:], preferred_element_type=f32) \
             + bproj_ref[:].astype(f32)
         o_ref[0] = (base_ref[0].reshape(FPP * N, D).astype(f32) + proj) \
@@ -1499,6 +1515,10 @@ def _make_space_block_kernel_v5(H: int, FPP: int):
                             preferred_element_type=f32) \
                 + bproj_ref[:].astype(f32)
             ocls_ref[0] = (basecls_ref[0].astype(f32) + projc).astype(dtype)
+            if save_stats:
+                for h in range(H):
+                    lse_ref[0, 0, h] = m_scr[h] + jnp.log(l_scr[h])
+                acls_ref[0] = cls_att
 
     return kernel
 
@@ -1507,9 +1527,12 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, bproj, num_frames: int,
                                    patches_per_frame: int, num_heads: int,
                                    fpp: int | None = None,
+                                   save_stats: bool = False,
+                                   save_acts: bool = False,
                                    interpret: bool = False):
     """Frame-batched space sub-path forward (see kernel docstring). Same
-    contract as fused_space_attention_block_v2 without stats/acts."""
+    contract as fused_space_attention_block_v2 (incl. save_stats/save_acts:
+    per-head CLS logsumexp + pre-proj CLS output + row-major q/k/v/attn)."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     H = num_heads
@@ -1537,15 +1560,27 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
                               memory_space=pltpu.VMEM)
 
     b3 = bqkv.reshape(3, D)
-    out_p, out_cls = pl.pallas_call(
-        _make_space_block_kernel_v5(H, fpp),
+    out_specs = [frame_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                      jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+        if save_acts:
+            out_specs += [frame_spec] * 4
+            out_shape += [jax.ShapeDtypeStruct((B, T, N, D), x.dtype)] * 4
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v5(H, fpp, save_stats, save_acts),
         grid=(B, T // fpp),
         in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
                   wproj_spec, vec_spec],
-        out_specs=(frame_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.SMEM((H,), jnp.float32),
                         pltpu.SMEM((H,), jnp.float32),
                         pltpu.VMEM((H, d), jnp.float32)],
@@ -1555,4 +1590,9 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
       ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
       bproj.reshape(1, D))
-    return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
+    out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
+    if save_stats and save_acts:
+        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+    if save_stats:
+        return out, outs[2], outs[3]
+    return out

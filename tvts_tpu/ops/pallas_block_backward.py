@@ -1475,3 +1475,338 @@ def make_time_subpath_v3(num_frames: int, patches_per_frame: int,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# v5 SPACE backward: frame-batched per-head matmuls, big-K weight grads,
+# no in-kernel weight/activation transposes.
+#
+# The v2 space backward (one frame/program) issues per-head [98,64] matmuls
+# and K=98 weight-grad contractions across 384 programs (111 ms/12 blocks);
+# the v3 d-major variant fixed the per-head batching but pays lane-pad
+# inflation and per-frame K=98 weight grads (90.3 ms). v5 keeps the
+# row-major layout, processes FPP frames per program, batches each head's
+# attention matmuls over frames (batched dot_general), and contracts the
+# weight grads over all FPP*N rows at once in lhsT/A@B^T-native dot_general
+# forms (no .T on weights or activations).
+# ---------------------------------------------------------------------------
+
+
+def _make_space_bwd_kernel_v5(H: int, FPP: int):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
+               lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref,
+               dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
+               dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
+               dqc_scr, dck_scr, dcv_scr):
+        """Grid (B, T // FPP), t minor."""
+        N = x_ref.shape[2]
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (t == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkv_ref, dbq_ref, dbk_ref, dbv_ref, dwproj_ref,
+                        dbproj_ref, dls_ref, dlb_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(t == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_s = ln_s_ref[0].astype(f32)
+        ln_b = ln_b_ref[0].astype(f32)
+        bq = bq_ref[:].astype(f32)
+        bk = bk_ref[:].astype(f32)
+        bv = bv_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        x_flat = x_ref[0].reshape(FPP * N, D)
+        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b)
+        x_ln = x_ln_f.astype(dtype)
+        cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
+        cls_ln = cls_ln_f.astype(dtype)
+
+        q = q_ref[0]                                       # [FPP, N, D] bf16
+        k = k_ref[0]
+        v = v_ref[0]
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=f32) + bq) * scale
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=f32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=f32) + bv
+
+        g_flat = g_ref[0].reshape(FPP * N, D)
+        # dattn = g @ wproj^T without transposing wproj: contract lanes
+        dattn_all = jax.lax.dot_general(
+            g_flat, wproj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                    # [FPP*N, D]
+        dattn4 = dattn_all.astype(dtype).reshape(FPP, N, D)
+        gcls = gcls_ref[0]                                 # [1, D]
+        dattn_cls = jax.lax.dot_general(
+            gcls, wproj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                    # [1, D]
+        acls = acls_ref[0]                                 # [1, D] fp32
+
+        BATCH_DD = (((2,), (2,)), ((0,), (0,)))   # contract d, batch frames
+        BATCH_PT = (((1,), (1,)), ((0,), (0,)))   # contract queries (probs^T)
+        BATCH_PV = (((2,), (1,)), ((0,), (0,)))   # probs x keys-dim operand
+        dqs, dks, dvs = [], [], []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]   # [FPP, N, d]
+            kch = kc[:, sl]                                   # [1, d] fp32
+            vch = vc[:, sl]
+            qch = qc[:, sl]
+            lse_h = lse_ref[0, 0, h]
+
+            logits = jax.lax.dot_general(qh, kh, BATCH_DD,
+                                         preferred_element_type=f32)
+            cls_logit = jax.lax.dot_general(
+                qh, kch.astype(dtype), (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # [FPP, N, 1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                            cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            pn = p / denom                                    # [FPP, N, N]
+            pn_cls = p_cls / denom                            # [FPP, N, 1]
+            pn_b = pn.astype(dtype)
+
+            dout = dattn4[..., sl]                            # [FPP, N, d]
+            dout_f = dout.astype(f32)
+            dv_h = jax.lax.dot_general(pn_b, dout, BATCH_PT,
+                                       preferred_element_type=f32)
+            dcv_scr[h, :] += jnp.sum(pn_cls * dout_f, axis=(0, 1))
+            dp = jax.lax.dot_general(dout, vh, BATCH_DD,
+                                     preferred_element_type=f32)  # [FPP,N,N]
+            dp_cls = jnp.sum(dout_f * vch, axis=-1, keepdims=True)
+            rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
+                + pn_cls * dp_cls
+            ds = pn * (dp - rowsum)
+            ds_cls = pn_cls * (dp_cls - rowsum)               # [FPP, N, 1]
+            ds_b = ds.astype(dtype)
+            dq_h = jax.lax.dot_general(ds_b, kh, BATCH_PV,
+                                       preferred_element_type=f32) \
+                + ds_cls * kch
+            dk_h = jax.lax.dot_general(ds_b, qh, BATCH_PT,
+                                       preferred_element_type=f32)
+            dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(f32), axis=(0, 1))
+
+            # ---- CLS row contribution from these frames' keys --------------
+            dout_c = dattn_cls[:, sl]                         # [1, d] fp32
+            delta_h = jnp.sum(acls[:, sl] * dout_c)
+            lrow = jax.lax.dot_general(
+                kh.astype(f32), qch, (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # [FPP, N, 1]
+            pn_row = jnp.exp(lrow - lse_h)
+            dv_h = dv_h + pn_row * dout_c
+            dp_row = jnp.sum(vh.astype(f32) * dout_c, axis=-1, keepdims=True)
+            ds_row = pn_row * (dp_row - delta_h)              # [FPP, N, 1]
+            dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(f32), axis=(0, 1))
+            dk_h = dk_h + ds_row * qch
+
+            @pl.when(t == 0)
+            def _self(h=h, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
+                      delta_h=delta_h, lse_h=lse_h):
+                p_self = jnp.exp(jnp.sum(qch * kch) - lse_h)
+                dcv_scr[h, :] += p_self * dout_c[0]
+                dp_self = jnp.sum(vch * dout_c)
+                ds_self = p_self * (dp_self - delta_h)
+                dqc_scr[h, :] += ds_self * kch[0]
+                dck_scr[h, :] += ds_self * qch[0]
+
+            dqs.append(dq_h)
+            dks.append(dk_h)
+            dvs.append(dv_h)
+
+        attn_flat = attn_ref[0].reshape(FPP * N, D)
+        # dwproj = attn^T @ g: contract rows (lhsT-native, no transpose)
+        dwproj_ref[...] += jax.lax.dot_general(
+            attn_flat, g_flat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dbproj_ref[...] += jnp.sum(g_flat.astype(f32), axis=0, keepdims=True)
+
+        dq = jnp.concatenate(dqs, axis=-1).reshape(FPP * N, D) * scale
+        dk = jnp.concatenate(dks, axis=-1).reshape(FPP * N, D)
+        dv = jnp.concatenate(dvs, axis=-1).reshape(FPP * N, D)
+        dq_b, dk_b, dv_b = (dq.astype(dtype), dk.astype(dtype),
+                            dv.astype(dtype))
+        ROWS = (((0,), (0,)), ((), ()))           # contract the token rows
+        dwqkv_ref[:, :D] += jax.lax.dot_general(
+            x_ln, dq_b, ROWS, preferred_element_type=f32)
+        dwqkv_ref[:, D:2 * D] += jax.lax.dot_general(
+            x_ln, dk_b, ROWS, preferred_element_type=f32)
+        dwqkv_ref[:, 2 * D:] += jax.lax.dot_general(
+            x_ln, dv_b, ROWS, preferred_element_type=f32)
+        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+
+        LANES = (((1,), (1,)), ((), ()))          # dqkv @ W^T without .T
+        dxln = jax.lax.dot_general(dq_b, wqkv_ref[:, :D], LANES,
+                                   preferred_element_type=f32) \
+            + jax.lax.dot_general(dk_b, wqkv_ref[:, D:2 * D], LANES,
+                                  preferred_element_type=f32) \
+            + jax.lax.dot_general(dv_b, wqkv_ref[:, 2 * D:], LANES,
+                                  preferred_element_type=f32)
+        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        dx_ref[0] = _ln_bwd(dxln, xhat, rstd, ln_s) \
+            .reshape(FPP, N, D).astype(dx_ref.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqc_rows = [dqc_scr[h:h + 1, :] for h in range(H)]
+            dkc_rows = [dck_scr[h:h + 1, :] for h in range(H)]
+            dvc_rows = [dcv_scr[h:h + 1, :] for h in range(H)]
+            dqc = jnp.concatenate(dqc_rows, axis=1) * scale   # [1, D]
+            dkc = jnp.concatenate(dkc_rows, axis=1)
+            dvc = jnp.concatenate(dvc_rows, axis=1)
+            dqc_b = dqc.astype(dtype)
+            dkc_b = dkc.astype(dtype)
+            dvc_b = dvc.astype(dtype)
+            dwqkv_ref[:, :D] += jax.lax.dot_general(
+                cls_ln, dqc_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dwqkv_ref[:, D:2 * D] += jax.lax.dot_general(
+                cls_ln, dkc_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dwqkv_ref[:, 2 * D:] += jax.lax.dot_general(
+                cls_ln, dvc_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dbq_ref[...] += dqc
+            dbk_ref[...] += dkc
+            dbv_ref[...] += dvc
+            dwproj_ref[...] += jax.lax.dot_general(
+                acls.astype(dtype), gcls, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dbproj_ref[...] += gcls.astype(f32)
+            dxln_c = jax.lax.dot_general(
+                dqc_b, wqkv_ref[:, :D], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32) \
+                + jax.lax.dot_general(
+                    dkc_b, wqkv_ref[:, D:2 * D], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32) \
+                + jax.lax.dot_general(
+                    dvc_b, wqkv_ref[:, 2 * D:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            dls_ref[...] += jnp.sum(dxln_c * xhat_c, axis=0, keepdims=True)
+            dlb_ref[...] += jnp.sum(dxln_c, axis=0, keepdims=True)
+            dxcls_ref[0] = _ln_bwd(dxln_c, xhat_c, rstd_c,
+                                   ln_s).astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v5_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                       wproj, lse, attn_cls, acts_saved,
+                                       num_frames: int,
+                                       patches_per_frame: int,
+                                       num_heads: int, fpp: int | None = None,
+                                       interpret: bool = False):
+    """Backward matching fused_space_attention_block_v5 with save_acts
+    (acts_saved: row-major q/k/v/attn [B,T,N,D], q pre-scaled)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N
+    if fpp is None:
+        fpp = T
+    if T % fpp != 0:
+        fpp = T
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+    b3 = bqkv.reshape(3, D)
+
+    frame_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel_v5(H, fpp),
+        grid=(B, T // fpp),
+        in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vec_spec,
+                  vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wproj_spec, lse_spec, cls_spec] + [frame_spec] * 4,
+        out_specs=(frame_spec, cls_spec, wqkv_spec, vec_spec, vec_spec,
+                   vec_spec, wproj_spec, vec_spec, vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse,
+      attn_cls.reshape(B, 1, D), *acts_saved)
+    (dx_p, dx_cls, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
+    dx = jnp.concatenate([dx_cls, dx_p.reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]])
+    return dx, dls[0], dlb[0], dwqkv, dbqkv, dwproj, dbproj[0]
+
+
+def make_space_subpath_v5(num_frames: int, patches_per_frame: int,
+                          num_heads: int, fpp: int | None = None,
+                          interpret: bool = False):
+    """Frame-batched differentiable space sub-path (v5 fwd + bwd). Same
+    contract as make_space_subpath."""
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v5
+
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_space_attention_block_v5(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+            interpret=interpret)
+
+    def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        out, lse, acls, q, k, v, attn = fused_space_attention_block_v5(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+            save_stats=True, save_acts=True, interpret=interpret)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
+                     (q, k, v, attn))
+
+    def bwd(res, g):
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v5_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts,
+                num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+                interpret=interpret)
+        return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
