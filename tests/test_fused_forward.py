@@ -49,3 +49,36 @@ def test_fused_forward_openclip_pool(version):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_fused_forward_v6_whole_block_matches_apply():
+    """kernel_version=6 (whole-block megakernel) vs model.apply, fp32
+    interpret mode, tiny geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tvts_tpu.models.configs import VisionConfig
+    from tvts_tpu.models.space_time_vit import SpaceTimeViT
+    from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
+
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=3, mask_ratio=0.0,
+                       pool_style="openai", act="quick_gelu")
+    model = SpaceTimeViT(cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 3, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.tile(np.arange(4, dtype=np.int32), (2, 1)))
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    params = jax.tree.map(
+        lambda a: a + 0.02 * np.random.default_rng(1).normal(
+            size=a.shape).astype(np.float32), params)
+
+    want_p, want_t = model.apply({"params": params}, video, keep)
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=6,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=3e-5, rtol=1e-4)

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing on the tower (XLA path)")
+    ap.add_argument("--bf16_state", action="store_true",
+                    help="bf16 params + bf16 AdamW first moment: single-chip "
+                         "H/14 probe (f32 params+m+v for 842M = ~10 GB and "
+                         "cannot fit one v5e; production shards the f32 "
+                         "state over the fsdp axis instead)")
     args = ap.parse_args()
     B = args.batch
 
@@ -67,7 +72,13 @@ def main():
                    for p in jax.tree_util.tree_leaves(params))
     print(f"init {time.perf_counter()-t0:.1f}s; {n_params/1e6:.0f}M params; "
           f"tokens/clip {1 + v.num_frames * v.n_keep} (mask {v.mask_ratio})")
-    ocfg = OptimizerConfig(schedule=(6, 8), steps_per_epoch=1000)
+    if args.bf16_state:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        print("bf16 params + bf16 AdamW mu (single-chip probe)")
+    ocfg = OptimizerConfig(schedule=(6, 8), steps_per_epoch=1000,
+                           mu_dtype="bfloat16" if args.bf16_state else None)
     tx = make_optimizer(params, ocfg)
     state = create_train_state(params, tx)
     apply_fn = None

@@ -2,12 +2,15 @@
 """REAL-shape gradient parity of the fused train path vs XLA, on the TPU.
 
 The suite proves grad parity at toy widths in interpret mode
-(tests/test_block_backward.py); this runs the full B/16 geometry (768x12L,
-mask 0.5, 4-clip text, sort head) in bf16 on the actual chip and compares
-loss + per-group gradient norms + worst relative gradient error between the
-fused differentiable tower (Pallas fwd+bwd) and the all-XLA apply.
+(tests/test_block_backward.py); this runs a full tower geometry (--arch: B/16
+768x12L mask 0.5 default, or H/14 1280x32L d=80 mask 0.7) in bf16 on the
+actual chip and compares loss + per-group gradient norms + worst relative
+gradient error between the fused differentiable tower (Pallas fwd+bwd) and
+the all-XLA apply.
 B must stay small (<=8): the XLA backward stores the divided-attention probs.
 """
+
+import argparse
 
 import os
 import sys
@@ -18,21 +21,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvts_tpu.models import TVTSv2, tvtsv2_b_16
+from tvts_tpu.models import TVTSv2
+from tvts_tpu.models.configs import MODEL_REGISTRY
 from tvts_tpu.models.factory import init_params
 from tvts_tpu.ops.fused_forward import make_fused_train_apply
 from tvts_tpu.train.step import make_loss_fn
 
 
 def main():
-    B = int(os.environ.get("TB", 4))
-    cfg = tvtsv2_b_16()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="TVTSv2_B_16",
+                    choices=sorted(k for k in MODEL_REGISTRY
+                                   if k.startswith("TVTSv2")))
+    ap.add_argument("-B", "--batch", type=int,
+                    default=int(os.environ.get("TB", 4)))
+    args = ap.parse_args()
+    B = args.batch
+    cfg = MODEL_REGISTRY[args.arch]()
     model = TVTSv2(cfg, dtype=jnp.bfloat16)
     v = cfg.vision
     rng = np.random.default_rng(0)
     batch = {
-        "video": jnp.asarray(rng.normal(size=(B, v.num_frames, 3, 224, 224))
-                             .astype(np.float32)),
+        "video": jnp.asarray(rng.normal(
+            size=(B, v.num_frames, 3, v.input_resolution,
+                  v.input_resolution)).astype(np.float32)),
         "text_ids": jnp.asarray(np.concatenate([
             np.full((cfg.num_clips * B, 1), 49406, np.int32),
             rng.integers(1, 49000, size=(cfg.num_clips * B, 75))

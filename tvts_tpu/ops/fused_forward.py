@@ -75,6 +75,18 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
     Returns (pooled, tokens) per the config's pool_style."""
     x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
     n_keep = (x.shape[1] - 1) // T
+    if kernel_version == 6:
+        # whole-block megakernel: time+space+MLP in ONE Pallas call per
+        # block, exact CLS rows, one HBM round-trip per block
+        from tvts_tpu.ops.pallas_block_attention import fused_block_v6
+
+        for i in range(cfg.layers):
+            x = fused_block_v6(
+                x, params[f"blocks_{i}"], num_frames=T,
+                patches_per_frame=n_keep, num_heads=cfg.heads, act=cfg.act,
+                mlp_chunk=mlp_chunk if mlp_chunk != 256 else 512,
+                dtype=dtype, interpret=interpret)
+        return _pool(params, cfg, x, dtype)
     if kernel_version in (2, 4):
         # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
         # no XLA-side k/v round-trips or [B,TN,H,d] tile-inflated reshapes.

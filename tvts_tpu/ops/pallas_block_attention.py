@@ -1596,3 +1596,271 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
     if save_stats:
         return out, outs[2], outs[3]
     return out
+
+
+# ---------------------------------------------------------------------------
+# v6 WHOLE-BLOCK kernel (extraction): time + space + MLP sub-paths of one
+# SpaceTimeBlock in ONE Pallas call, one clip per program (grid (B,)).
+#
+# All sub-path weights (~19 MB bf16) and the whole clip ([T, N, D] bf16,
+# ~3.6 MB at B/16 extraction) are VMEM-resident, so a block costs one HBM
+# read of x and one write of o instead of six sub-path round-trips, and the
+# CLS rows are computed EXACTLY (every key in VMEM — no online-softmax
+# scratch carried across programs). Sub-path math reuses the measured
+# winners: v4's T-leading time path (leading-dim transposes only), v5's
+# frame-batched per-head space matmuls, and a token-chunked MLP.
+# Reference contract: one block of video_encoder_ViT_B_16.py:109-124
+# (x + time, then base + space from the block input, then MLP).
+# ---------------------------------------------------------------------------
+
+
+def _make_block_kernel_v6(H: int, T: int, N: int, act: str,
+                          mlp_chunk: int = 512):
+    def kernel(x_ref, cls_ref,
+               ln3_s_ref, ln3_b_ref, twqkvT_ref, tbqT_ref, tbkT_ref,
+               tbvT_ref, twprojT_ref, tbprojT_ref,
+               ln1_s_ref, ln1_b_ref, swqkv_ref, sbq_ref, sbk_ref, sbv_ref,
+               swproj_ref, sbproj_ref,
+               ln2_s_ref, ln2_b_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
+               o_ref, ocls_ref):
+        D = x_ref.shape[-1]
+        d = D // H
+        f32 = jnp.float32
+        dtype = o_ref.dtype
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        x_flat = x_ref[0].reshape(T * N, D)                # [T*N, D] bf16
+        cls = cls_ref[0]                                   # [1, D]
+
+        # ================= TIME sub-path (residual folded) ==================
+        ln3 = _ln_fn(ln3_s_ref[0].astype(f32), ln3_b_ref[0].astype(f32))
+        x_ln = ln3(x_flat).astype(dtype)
+        cls_ln = ln3(cls).astype(dtype)
+        x_lnT = jnp.swapaxes(x_ln.reshape(T, N, D), -1, -2)    # [T, D, N]
+        tbqT = tbqT_ref[:].astype(f32)
+        tbkT = tbkT_ref[:].astype(f32)
+        tbvT = tbvT_ref[:].astype(f32)
+        qs, ks, vs = [], [], []
+        for t in range(T):
+            qkvT_t = jnp.dot(twqkvT_ref[:], x_lnT[t],
+                             preferred_element_type=f32)       # [3D, N]
+            qs.append(((qkvT_t[:D] + tbqT) * scale).astype(dtype))
+            ks.append((qkvT_t[D:2 * D] + tbkT).astype(dtype))
+            vs.append((qkvT_t[2 * D:] + tbvT).astype(dtype))
+
+        def heads(ts):
+            return jnp.transpose(jnp.stack(ts).reshape(T, H, d, N),
+                                 (1, 0, 2, 3)).astype(f32)
+
+        q4 = heads(qs)                                     # [H, T, d, N]
+        k4 = heads(ks)
+        v4 = heads(vs)
+        qkv_cT = jnp.dot(twqkvT_ref[:], cls_ln.T,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = (qkv_cT[:D] + tbqT).reshape(H, d, 1) * scale
+        kc3 = (qkv_cT[D:2 * D] + tbkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + tbvT).reshape(H, d, 1)
+
+        outs_t = []
+        for t in range(T):
+            qt = q4[:, t]                                  # [H, d, N]
+            l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, N]
+            cls_l = jnp.sum(qt * kc3, axis=1)[:, None]     # [H, 1, N]
+            full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, N]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)
+            out_t = out_t + p[:, 0][:, None, :] * vc3
+            outs_t.append((out_t / denom).astype(dtype).reshape(D, N))
+
+        # exact CLS row (all T*N keys + self are resident)
+        lc = jnp.sum(k4 * qc3[:, None], axis=2)            # [H, T, N]
+        self_l = jnp.sum(qc3 * kc3, axis=1)                # [H, 1]
+        mc = jnp.maximum(jnp.max(jnp.max(lc, axis=2), axis=1, keepdims=True),
+                         self_l)                           # [H, 1]
+        pc = jnp.exp(lc - mc[..., None])                   # [H, T, N]
+        p_self = jnp.exp(self_l - mc)                      # [H, 1]
+        denc = jnp.sum(jnp.sum(pc, axis=2), axis=1, keepdims=True) + p_self
+        accc = jnp.sum(v4 * pc[:, :, None, :], axis=(1, 3)) \
+            + vc3[..., 0] * p_self                         # [H, d]
+        cls_attT = (accc / denc).reshape(D, 1)             # fp32
+
+        proj_rows = []
+        for t in range(T):
+            projT_t = jnp.dot(twprojT_ref[:], outs_t[t],
+                              preferred_element_type=f32) \
+                + tbprojT_ref[:].astype(f32)               # [D, N]
+            proj_rows.append(projT_t.T)
+        tr = (x_flat.astype(f32)
+              + jnp.concatenate(proj_rows, axis=0)).astype(dtype)  # [T*N, D]
+        projc = jnp.dot(twprojT_ref[:], cls_attT.astype(dtype),
+                        preferred_element_type=f32) \
+            + tbprojT_ref[:].astype(f32)
+        tr_cls = (cls.astype(f32) + projc.T).astype(dtype)         # [1, D]
+
+        # ================ SPACE sub-path (base = block input x) =============
+        ln1 = _ln_fn(ln1_s_ref[0].astype(f32), ln1_b_ref[0].astype(f32))
+        s_ln = ln1(tr).astype(dtype)
+        scls_ln = ln1(tr_cls).astype(dtype)
+        sbq = sbq_ref[:].astype(f32)
+        sbk = sbk_ref[:].astype(f32)
+        sbv = sbv_ref[:].astype(f32)
+        sq = ((jnp.dot(s_ln, swqkv_ref[:, :D], preferred_element_type=f32)
+               + sbq) * scale).astype(dtype).reshape(T, N, D)
+        sk = (jnp.dot(s_ln, swqkv_ref[:, D:2 * D],
+                      preferred_element_type=f32) + sbk) \
+            .astype(dtype).reshape(T, N, D)
+        sv = (jnp.dot(s_ln, swqkv_ref[:, 2 * D:],
+                      preferred_element_type=f32) + sbv) \
+            .astype(dtype).reshape(T, N, D)
+        sqc = (jnp.dot(scls_ln, swqkv_ref[:, :D],
+                       preferred_element_type=f32) + sbq) * scale  # [1, D]
+        skc = jnp.dot(scls_ln, swqkv_ref[:, D:2 * D],
+                      preferred_element_type=f32) + sbk
+        svc = jnp.dot(scls_ln, swqkv_ref[:, 2 * D:],
+                      preferred_element_type=f32) + sbv
+
+        BATCH_DD = (((2,), (2,)), ((0,), (0,)))
+        PV = (((2,), (1,)), ((0,), (0,)))
+        souts = []
+        acc_rows = []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = sq[..., sl], sk[..., sl], sv[..., sl]  # [T, N, d]
+            logits = jax.lax.dot_general(qh, kh, BATCH_DD,
+                                         preferred_element_type=f32)
+            cls_logit = jax.lax.dot_general(
+                qh, skc[:, sl].astype(dtype), (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                # [T, N, 1]
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                            cls_logit)
+            p = jnp.exp(logits - m)
+            p_cls = jnp.exp(cls_logit - m)
+            den = jnp.sum(p, axis=-1, keepdims=True) + p_cls
+            oh = jax.lax.dot_general(p.astype(dtype), vh, PV,
+                                     preferred_element_type=f32)
+            oh = (oh + p_cls * svc[:, sl][None].astype(f32)) / den
+            souts.append(oh.astype(dtype))                 # [T, N, d]
+
+            # exact CLS row for this head
+            lch = jax.lax.dot_general(
+                kh.astype(f32), sqc[:, sl], (((2,), (1,)), ((), ())),
+                preferred_element_type=f32)                # [T, N, 1]
+            self_lh = jnp.sum(sqc[:, sl] * skc[:, sl])
+            mh = jnp.maximum(jnp.max(lch), self_lh)
+            pch = jnp.exp(lch - mh)
+            psh = jnp.exp(self_lh - mh)
+            denh = jnp.sum(pch) + psh
+            acc_h = (jnp.sum(vh.astype(f32) * pch, axis=(0, 1))
+                     + svc[0, sl] * psh) / denh            # [d]
+            acc_rows.append(acc_h[None])
+        s_attn = jnp.concatenate(souts, axis=-1).reshape(T * N, D)
+        s_cls_att = jnp.concatenate(acc_rows, axis=1)      # [1, D] fp32
+        sr = (x_flat.astype(f32)
+              + jnp.dot(s_attn, swproj_ref[:], preferred_element_type=f32)
+              + sbproj_ref[:].astype(f32)).astype(dtype)
+        sr_cls = (cls.astype(f32)
+                  + jnp.dot(s_cls_att.astype(dtype), swproj_ref[:],
+                            preferred_element_type=f32)
+                  + sbproj_ref[:].astype(f32)).astype(dtype)
+
+        # ========================= MLP sub-path =============================
+        ln2_s = ln2_s_ref[0].astype(f32)
+        ln2_b = ln2_b_ref[0].astype(f32)
+        ln2 = _ln_fn(ln2_s, ln2_b)
+        bfc = bfc_ref[:].astype(f32)
+        bpr = bpr_ref[:].astype(f32)
+
+        def mlp(tok):                                      # [n, D] -> [n, D]
+            y = ln2(tok).astype(dtype)
+            h = jnp.dot(y, wfc_ref[:], preferred_element_type=f32) + bfc
+            if act == "quick_gelu":
+                h = h * jax.nn.sigmoid(1.702 * h)
+            else:
+                h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+            out = jnp.dot(h.astype(dtype), wpr_ref[:],
+                          preferred_element_type=f32) + bpr
+            return (tok.astype(f32) + out).astype(dtype)
+
+        n_tok = T * N
+        chunks = []
+        for s0 in range(0, n_tok, mlp_chunk):
+            c = min(mlp_chunk, n_tok - s0)
+            chunks.append(mlp(sr[s0:s0 + c]))
+        o_ref[0] = jnp.concatenate(chunks, axis=0).reshape(T, N, D)
+        ocls_ref[0] = mlp(sr_cls)
+
+    return kernel
+
+
+def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
+                   num_heads: int, act: str = "quick_gelu",
+                   mlp_chunk: int = 512, dtype=jnp.bfloat16,
+                   interpret: bool = False):
+    """One whole SpaceTimeBlock (time + space + MLP, residuals folded) as one
+    Pallas call. params_block is the standard `blocks_i` param subtree."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    assert S == 1 + T * N
+    bp = params_block
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+
+    clip_spec = pl.BlockSpec((1, T, N, D), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wDD_spec = pl.BlockSpec((D, D), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    hidden = bp["mlp"]["c_fc"]["kernel"].shape[1]
+    wfc_spec = pl.BlockSpec((D, hidden), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wpr_spec = pl.BlockSpec((hidden, D), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    hvec_spec = pl.BlockSpec((1, hidden), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    tb3 = bp["timeattn"]["qkv"]["bias"].astype(dtype).reshape(3, D)
+    sb3 = bp["attn"]["qkv"]["bias"].astype(dtype).reshape(3, D)
+    out_p, out_cls = pl.pallas_call(
+        _make_block_kernel_v6(H, T, N, act, mlp_chunk),
+        grid=(B,),
+        in_specs=[clip_spec, cls_spec,
+                  vec_spec, vec_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wDD_spec, vecT_spec,
+                  vec_spec, vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                  wDD_spec, vec_spec,
+                  vec_spec, vec_spec, wfc_spec, hvec_spec, wpr_spec, vec_spec],
+        out_specs=(clip_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, x_cls,
+      bp["ln_3"]["scale"].reshape(1, D), bp["ln_3"]["bias"].reshape(1, D),
+      bp["timeattn"]["qkv"]["kernel"].astype(dtype).T,
+      tb3[0].reshape(D, 1), tb3[1].reshape(D, 1), tb3[2].reshape(D, 1),
+      bp["timeattn"]["proj"]["kernel"].astype(dtype).T,
+      bp["timeattn"]["proj"]["bias"].astype(dtype).reshape(D, 1),
+      bp["ln_1"]["scale"].reshape(1, D), bp["ln_1"]["bias"].reshape(1, D),
+      bp["attn"]["qkv"]["kernel"].astype(dtype),
+      sb3[0:1], sb3[1:2], sb3[2:3],
+      bp["attn"]["proj"]["kernel"].astype(dtype),
+      bp["attn"]["proj"]["bias"].astype(dtype).reshape(1, D),
+      bp["ln_2"]["scale"].reshape(1, D), bp["ln_2"]["bias"].reshape(1, D),
+      bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+      bp["mlp"]["c_fc"]["bias"].astype(dtype).reshape(1, hidden),
+      bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+      bp["mlp"]["c_proj"]["bias"].astype(dtype).reshape(1, D))
+    return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)

@@ -38,6 +38,9 @@ class OptimizerConfig:
     text_tune_layers: int = 3   # last-k trainable (3 for B/*, 6 for H/14)
     schedule: tuple = ()        # epoch milestones, e.g. (6, 8)
     steps_per_epoch: int = 1
+    mu_dtype: str | None = None  # e.g. "bfloat16": halve the first-moment
+                                 # state (single-chip H/14 probe; production
+                                 # shards the f32 state over the fsdp axis)
 
 
 NO_DECAY_SUBSTRINGS = ("bias", "ln_", "norm")
@@ -91,7 +94,8 @@ def make_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformation
     def adamw(base_lr, wd):
         return optax.adamw(
             learning_rate=lambda step: base_lr * scale(step),
-            b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps, weight_decay=wd)
+            b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps, weight_decay=wd,
+            mu_dtype=cfg.mu_dtype)
 
     transforms = {
         "new_decay": adamw(cfg.lr_new, cfg.weight_decay),
