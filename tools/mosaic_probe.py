@@ -121,3 +121,54 @@ def extra_probes():
 
 if __name__ == "__main__" and os.environ.get("EXTRA"):
     extra_probes()
+
+
+def extra2_probes():
+    """3D lane-broadcast variants (v5/v6 'Lane broadcast' failure hunt)."""
+    def case(name, kernel, shapes, out_shape):
+        xs = [jnp.asarray(np.random.default_rng(i).normal(size=s)
+                          .astype(np.float32)) for i, s in enumerate(shapes)]
+        try:
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(xs),
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(*xs)
+            float(jnp.sum(out))
+            print(f"{name}: OK")
+        except Exception as e:
+            line = next((ln for ln in str(e).split("\n")
+                         if "Not implemented" in ln or "Unsupported" in ln
+                         or "INTERNAL" in ln), str(e)[:140])
+            print(f"{name}: FAIL — {line.strip()[:120]}")
+
+    F, Nq = 6, 196
+    case("3d-lane-bcast-mul a[F,N,1]*b[F,N,d]",
+         lambda a, b, o: o.__setitem__(..., a[...] * b[...]),
+         [(F, Nq, 1), (F, Nq, d)], (F, Nq, d))
+    case("3d-lane-bcast-sub a[F,N,Nk]-m[F,N,1]",
+         lambda a, b, o: o.__setitem__(..., a[...] - b[...]),
+         [(F, Nq, Nq), (F, Nq, 1)], (F, Nq, Nq))
+    case("3d-keepdims-max-then-sub (flash pattern)",
+         lambda a, o: o.__setitem__(..., a[...] - jnp.max(
+             a[...], axis=-1, keepdims=True)),
+         [(F, Nq, Nq)], (F, Nq, Nq))
+    case("v2-style [H,1,N]*[H,d,1]",
+         lambda a, b, o: o.__setitem__(..., a[...] * b[...]),
+         [(H, 1, Nc), (H, d, 1)], (H, d, Nc))
+    case("slice-reshape-dot x[:,sl].reshape(F,N,d) @ batched",
+         lambda x, y, o: o.__setitem__(..., jax.lax.dot_general(
+             x[...][:, 64:64 + d].reshape(F, 28, d),
+             y[...], (((2,), (2,)), ((0,), (0,))),
+             preferred_element_type=jnp.float32)),
+         [(F * 28, D), (F, 28, d)], (F, 28, 28))
+    case("batched-dot pc[F,N,1] x vh[F,N,d] contract N",
+         lambda a, b, o: o.__setitem__(..., jax.lax.dot_general(
+             a[...], b[...], (((1,), (1,)), ((0,), (0,))),
+             preferred_element_type=jnp.float32)),
+         [(F, Nq, 1), (F, Nq, d)], (F, 1, d))
+
+
+if __name__ == "__main__" and os.environ.get("EXTRA2"):
+    extra2_probes()

@@ -90,7 +90,8 @@ def main():
             time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
             mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
             space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"),
-            time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"))
+            time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
+            save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1")
         print("fused train path (Pallas fwd+bwd megakernels)")
     step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 

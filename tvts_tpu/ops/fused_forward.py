@@ -204,6 +204,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              mlp_chunk: int = 256, mlp_mode: str = "xla",
                              space_mode: str = "pallas",
                              time_mode: str = "pallas",
+                             save_acts: bool = True,
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -238,7 +239,12 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                                       chunk=time_chunk, interpret=interpret)
     else:
         time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
-                                   chunk=time_chunk, interpret=interpret)
+                                   chunk=time_chunk, save_acts=save_acts,
+                                   interpret=interpret)
+    if not save_acts and space_mode == "pallas":
+        # flash-style recompute (H/14 single-chip memory mode): the v3
+        # kernels require saved acts, so the space sub-path drops to v2
+        space_mode = "pallas_v2"
     if space_mode == "pallas":
         # v3 d-major head-batched kernels: space sub-path fwd+bwd measured
         # 145.1 vs 167.2 ms/12 blocks for the per-head v2 pair at B=32
@@ -256,7 +262,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                                         interpret=interpret)
     elif space_mode == "pallas_v2":
         space_f = make_space_subpath(num_frames, n_keep, cfg.heads,
-                                     interpret=interpret)
+                                     save_acts=save_acts, interpret=interpret)
     else:
         def space_f(x, base, ln_s, ln_b, wq, bq, wp, bp):
             p = {"qkv": {"kernel": wq, "bias": bq},
@@ -306,7 +312,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
 def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
                            mlp_mode: str = "xla", space_mode: str = "pallas",
-                           time_mode: str = "pallas",
+                           time_mode: str = "pallas", save_acts: bool = True,
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
@@ -316,6 +322,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          mlp_mode=mlp_mode,
                                          space_mode=space_mode,
                                          time_mode=time_mode,
+                                         save_acts=save_acts,
                                          interpret=interpret)
 
     def apply(params, batch):

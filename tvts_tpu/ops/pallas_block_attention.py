@@ -1404,6 +1404,30 @@ def fused_time_attention_block_v4(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
 # ---------------------------------------------------------------------------
 
 
+
+def _outer_fn1(a_fn1, b_1d, f32=jnp.float32):
+    """[F,N,1] x [1,d] -> [F,N,d] as a K=1 dot_general — broadcasting a
+    LANE-OFFSET slice in 3D hits Mosaic "Lane broadcast: not implemented"
+    in context (standalone probes pass, tools/mosaic_probe.py)."""
+    return jax.lax.dot_general(a_fn1, b_1d, (((2,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+
+
+def _rowdot_fnd(a_fnd, b_1d, f32=jnp.float32):
+    """[F,N,d] x [1,d] -> [F,N,1] (contract d) without broadcasting the
+    slice."""
+    return jax.lax.dot_general(a_fnd, b_1d, (((2,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+
+
+def _sum_fn1_times_fnd(a_fn1, b_fnd, f32=jnp.float32):
+    """sum over (F, N) of a[F,N,1] * b[F,N,d] -> [d], via a batched
+    dot_general + a 2D sublane reduce (slice-safe)."""
+    t = jax.lax.dot_general(a_fn1, b_fnd, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32)    # [F, 1, d]
+    return jnp.sum(t[:, 0, :], axis=0)
+
+
 def _make_space_block_kernel_v5(H: int, FPP: int,
                                 save_stats: bool = False,
                                 save_acts: bool = False):
@@ -1495,7 +1519,7 @@ def _make_space_block_kernel_v5(H: int, FPP: int,
             p_c = jnp.exp(lc - m_new)                         # [FPP, N, 1]
             m_scr[h] = m_new
             l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
-            pv = jnp.sum(vh.astype(f32) * p_c, axis=(0, 1))   # [d]
+            pv = _sum_fn1_times_fnd(p_c, vh.astype(f32))      # [d]
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
         attn_cat = jnp.concatenate(outs, axis=-1)         # [FPP, N, D]
@@ -1740,7 +1764,7 @@ def _make_block_kernel_v6(H: int, T: int, N: int, act: str,
             den = jnp.sum(p, axis=-1, keepdims=True) + p_cls
             oh = jax.lax.dot_general(p.astype(dtype), vh, PV,
                                      preferred_element_type=f32)
-            oh = (oh + p_cls * svc[:, sl][None].astype(f32)) / den
+            oh = (oh + _outer_fn1(p_cls, svc[:, sl])) / den
             souts.append(oh.astype(dtype))                 # [T, N, d]
 
             # exact CLS row for this head
@@ -1752,7 +1776,7 @@ def _make_block_kernel_v6(H: int, T: int, N: int, act: str,
             pch = jnp.exp(lch - mh)
             psh = jnp.exp(self_lh - mh)
             denh = jnp.sum(pch) + psh
-            acc_h = (jnp.sum(vh.astype(f32) * pch, axis=(0, 1))
+            acc_h = (_sum_fn1_times_fnd(pch, vh.astype(f32))
                      + svc[0, sl] * psh) / denh            # [d]
             acc_rows.append(acc_h[None])
         s_attn = jnp.concatenate(souts, axis=-1).reshape(T * N, D)

@@ -24,6 +24,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tvts_tpu.ops.pallas_block_attention import (
+    _outer_fn1,
+    _rowdot_fnd,
+    _sum_fn1_times_fnd,
     fused_space_attention_block_v2,
     fused_time_attention_block_v2,
 )
@@ -1585,10 +1588,10 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
             dout_f = dout.astype(f32)
             dv_h = jax.lax.dot_general(pn_b, dout, BATCH_PT,
                                        preferred_element_type=f32)
-            dcv_scr[h, :] += jnp.sum(pn_cls * dout_f, axis=(0, 1))
+            dcv_scr[h, :] += _sum_fn1_times_fnd(pn_cls, dout_f)
             dp = jax.lax.dot_general(dout, vh, BATCH_DD,
                                      preferred_element_type=f32)  # [FPP,N,N]
-            dp_cls = jnp.sum(dout_f * vch, axis=-1, keepdims=True)
+            dp_cls = _rowdot_fnd(dout_f, vch)
             rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
                 + pn_cls * dp_cls
             ds = pn * (dp - rowsum)
@@ -1596,10 +1599,10 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
             ds_b = ds.astype(dtype)
             dq_h = jax.lax.dot_general(ds_b, kh, BATCH_PV,
                                        preferred_element_type=f32) \
-                + ds_cls * kch
+                + _outer_fn1(ds_cls, kch)
             dk_h = jax.lax.dot_general(ds_b, qh, BATCH_PT,
                                        preferred_element_type=f32)
-            dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(f32), axis=(0, 1))
+            dck_scr[h, :] += _sum_fn1_times_fnd(ds_cls, qh.astype(f32))
 
             # ---- CLS row contribution from these frames' keys --------------
             dout_c = dattn_cls[:, sl]                         # [1, d] fp32
@@ -1608,11 +1611,11 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
                 kh.astype(f32), qch, (((2,), (1,)), ((), ())),
                 preferred_element_type=f32)                   # [FPP, N, 1]
             pn_row = jnp.exp(lrow - lse_h)
-            dv_h = dv_h + pn_row * dout_c
-            dp_row = jnp.sum(vh.astype(f32) * dout_c, axis=-1, keepdims=True)
+            dv_h = dv_h + _outer_fn1(pn_row, dout_c)
+            dp_row = _rowdot_fnd(vh.astype(f32), dout_c)
             ds_row = pn_row * (dp_row - delta_h)              # [FPP, N, 1]
-            dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(f32), axis=(0, 1))
-            dk_h = dk_h + ds_row * qch
+            dqc_scr[h, :] += _sum_fn1_times_fnd(ds_row, kh.astype(f32))
+            dk_h = dk_h + _outer_fn1(ds_row, qch)
 
             @pl.when(t == 0)
             def _self(h=h, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
