@@ -50,6 +50,42 @@ def _shim_module(name: str) -> types.ModuleType:
 
 
 def _install_shims():
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = _shim_module("torchvision")
+            tvt = _shim_module("torchvision.transforms")
+            tvf = _shim_module("torchvision.transforms.functional")
+            tvt.functional = tvf
+            tv.transforms = tvt
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tvt
+            sys.modules["torchvision.transforms.functional"] = tvf
+    # the reference's v1/downstream modules import their siblings as
+    # top-level modules; shim the two aug deps (oracle tests only exercise
+    # the deterministic tensor functions)
+    if "functional" not in sys.modules:
+        # v1/downstream/video_transforms.py's clip-class half delegates to a
+        # sibling `functional` module; the oracle tests only use the tensor
+        # functions, so an empty shim suffices
+        sys.modules["functional"] = _shim_module("functional")
+    if "rand_augment" not in sys.modules:
+        ra = _shim_module("rand_augment")
+        ra.rand_augment_transform = lambda *a, **k: (lambda x: x)
+        sys.modules["rand_augment"] = ra
+    if "random_erasing" not in sys.modules:
+        re_mod = _shim_module("random_erasing")
+
+        class RandomErasing:  # pragma: no cover - shim
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        re_mod.RandomErasing = RandomErasing
+        sys.modules["random_erasing"] = re_mod
     if "ipdb" not in sys.modules:
         ipdb = _shim_module("ipdb")
         ipdb.set_trace = lambda: None

@@ -1458,18 +1458,20 @@ def _make_space_block_kernel_v5(H: int, FPP: int,
         bk = bk_ref[:].astype(f32)
         bv = bv_ref[:].astype(f32)
         scale = jnp.asarray(d, f32) ** -0.5
+        # q/k/v stay 2D [FPP*N, D]: all elementwise math below runs in the
+        # battle-tested 2D layouts (the in-context "Lane broadcast" failures
+        # were 3D); the frame-batched dot_generals take fresh
+        # slice+reshape [FPP, N, d] views
         q = ((jnp.dot(x_ln, wqkv_ref[:, :D], preferred_element_type=f32)
-              + bq) * scale).astype(dtype).reshape(FPP, N, D)
+              + bq) * scale).astype(dtype)
         k = (jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
-                     preferred_element_type=f32) + bk) \
-            .astype(dtype).reshape(FPP, N, D)
+                     preferred_element_type=f32) + bk).astype(dtype)
         v = (jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
-                     preferred_element_type=f32) + bv) \
-            .astype(dtype).reshape(FPP, N, D)
+                     preferred_element_type=f32) + bv).astype(dtype)
         if save_acts:
-            q_ref[0] = q
-            k_ref[0] = k
-            v_ref[0] = v
+            q_ref[0] = q.reshape(FPP, N, D)
+            k_ref[0] = k.reshape(FPP, N, D)
+            v_ref[0] = v.reshape(FPP, N, D)
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=f32) + bq) * scale   # [1, D] f32
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -1490,42 +1492,40 @@ def _make_space_block_kernel_v5(H: int, FPP: int,
         outs = []
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]   # [FPP, N, d]
-            logits = jax.lax.dot_general(qh, kh, BATCH_F,
-                                         preferred_element_type=f32)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]         # [FPP*N, d]
+            logits = jax.lax.dot_general(
+                qh.reshape(FPP, N, d), kh.reshape(FPP, N, d), BATCH_F,
+                preferred_element_type=f32)
+            l2 = logits.reshape(FPP * N, N)
             kch = kc[:, sl].astype(dtype)                     # [1, d]
-            cls_logit = jax.lax.dot_general(
-                qh, kch, (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # [FPP, N, 1]
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
-                            cls_logit)
-            p = jnp.exp(logits - m)                           # [FPP, N, N]
+            cls_logit = jnp.dot(qh, kch.T,
+                                preferred_element_type=f32)   # [FPP*N, 1]
+            m = jnp.maximum(jnp.max(l2, axis=-1, keepdims=True), cls_logit)
+            p2 = jnp.exp(l2 - m)                              # [FPP*N, N]
             p_cls = jnp.exp(cls_logit - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-            oh = jax.lax.dot_general(p.astype(dtype), vh, PV,
-                                     preferred_element_type=f32)
-            oh = (oh + p_cls * vc[:, sl][None].astype(f32)) / denom
-            outs.append(oh.astype(dtype))                     # [FPP, N, d]
+            den = jnp.sum(p2, axis=-1, keepdims=True) + p_cls
+            oh = jax.lax.dot_general(
+                p2.astype(dtype).reshape(FPP, N, N), vh.reshape(FPP, N, d),
+                PV, preferred_element_type=f32).reshape(FPP * N, d)
+            oh = (oh + p_cls * vc[:, sl]) / den
+            outs.append(oh.astype(dtype))                     # [FPP*N, d]
 
-            # CLS row over these frames' keys (online)
-            lc = jax.lax.dot_general(
-                kh.astype(f32), qc[:, sl],
-                (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # [FPP, N, 1]
+            # CLS row over these frames' keys (online, v2 2D patterns)
+            lc = jnp.dot(kh.astype(f32), qc[:, sl].T,
+                         preferred_element_type=f32)          # [FPP*N, 1]
             c_max = jnp.max(lc)
             m_old = m_scr[h]
             m_new = jnp.maximum(m_old, c_max)
             corr = jnp.exp(m_old - m_new)
-            p_c = jnp.exp(lc - m_new)                         # [FPP, N, 1]
+            p_c = jnp.exp(lc - m_new)                         # [FPP*N, 1]
             m_scr[h] = m_new
             l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
-            pv = _sum_fn1_times_fnd(p_c, vh.astype(f32))      # [d]
+            pv = jnp.sum(vh.astype(f32) * p_c, axis=0)        # [d]
             acc_scr[h, :] = acc_scr[h, :] * corr + pv
 
-        attn_cat = jnp.concatenate(outs, axis=-1)         # [FPP, N, D]
+        attn_out = jnp.concatenate(outs, axis=-1)         # [FPP*N, D]
         if save_acts:
-            attn_ref[0] = attn_cat
-        attn_out = attn_cat.reshape(FPP * N, D)
+            attn_ref[0] = attn_out.reshape(FPP, N, D)
         proj = jnp.dot(attn_out, wproj_ref[:], preferred_element_type=f32) \
             + bproj_ref[:].astype(f32)
         o_ref[0] = (base_ref[0].reshape(FPP * N, D).astype(f32) + proj) \
@@ -1747,39 +1747,45 @@ def _make_block_kernel_v6(H: int, T: int, N: int, act: str,
 
         BATCH_DD = (((2,), (2,)), ((0,), (0,)))
         PV = (((2,), (1,)), ((0,), (0,)))
+        TN = T * N
         souts = []
         acc_rows = []
+        # 2D-first (see v5): elementwise softmax math on [T*N, .] layouts,
+        # 3D only as fresh slice+reshape dot_general operands
+        sq2 = sq.reshape(TN, D)
+        sk2 = sk.reshape(TN, D)
+        sv2 = sv.reshape(TN, D)
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = sq[..., sl], sk[..., sl], sv[..., sl]  # [T, N, d]
-            logits = jax.lax.dot_general(qh, kh, BATCH_DD,
-                                         preferred_element_type=f32)
-            cls_logit = jax.lax.dot_general(
-                qh, skc[:, sl].astype(dtype), (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                # [T, N, 1]
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
-                            cls_logit)
-            p = jnp.exp(logits - m)
+            qh, kh, vh = sq2[:, sl], sk2[:, sl], sv2[:, sl]   # [T*N, d]
+            logits = jax.lax.dot_general(
+                qh.reshape(T, N, d), kh.reshape(T, N, d), BATCH_DD,
+                preferred_element_type=f32)
+            l2 = logits.reshape(TN, N)
+            cls_logit = jnp.dot(qh, skc[:, sl].astype(dtype).T,
+                                preferred_element_type=f32)   # [T*N, 1]
+            m = jnp.maximum(jnp.max(l2, axis=-1, keepdims=True), cls_logit)
+            p2 = jnp.exp(l2 - m)
             p_cls = jnp.exp(cls_logit - m)
-            den = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-            oh = jax.lax.dot_general(p.astype(dtype), vh, PV,
-                                     preferred_element_type=f32)
-            oh = (oh + _outer_fn1(p_cls, svc[:, sl])) / den
-            souts.append(oh.astype(dtype))                 # [T, N, d]
+            den = jnp.sum(p2, axis=-1, keepdims=True) + p_cls
+            oh = jax.lax.dot_general(
+                p2.astype(dtype).reshape(T, N, N), vh.reshape(T, N, d), PV,
+                preferred_element_type=f32).reshape(TN, d)
+            oh = (oh + p_cls * svc[:, sl]) / den
+            souts.append(oh.astype(dtype))                 # [T*N, d]
 
-            # exact CLS row for this head
-            lch = jax.lax.dot_general(
-                kh.astype(f32), sqc[:, sl], (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                # [T, N, 1]
+            # exact CLS row for this head (2D)
+            lch = jnp.dot(kh.astype(f32), sqc[:, sl].T,
+                          preferred_element_type=f32)      # [T*N, 1]
             self_lh = jnp.sum(sqc[:, sl] * skc[:, sl])
             mh = jnp.maximum(jnp.max(lch), self_lh)
             pch = jnp.exp(lch - mh)
             psh = jnp.exp(self_lh - mh)
             denh = jnp.sum(pch) + psh
-            acc_h = (_sum_fn1_times_fnd(pch, vh.astype(f32))
+            acc_h = (jnp.sum(vh.astype(f32) * pch, axis=0)
                      + svc[0, sl] * psh) / denh            # [d]
             acc_rows.append(acc_h[None])
-        s_attn = jnp.concatenate(souts, axis=-1).reshape(T * N, D)
+        s_attn = jnp.concatenate(souts, axis=-1)           # [T*N, D]
         s_cls_att = jnp.concatenate(acc_rows, axis=1)      # [1, D] fp32
         sr = (x_flat.astype(f32)
               + jnp.dot(s_attn, swproj_ref[:], preferred_element_type=f32)

@@ -1536,9 +1536,12 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
         cls_ln_f, xhat_c, rstd_c = _ln_fwd(cls_ref[0], ln_s, ln_b)
         cls_ln = cls_ln_f.astype(dtype)
 
-        q = q_ref[0]                                       # [FPP, N, D] bf16
-        k = k_ref[0]
-        v = v_ref[0]
+        # 2D [FPP*N, D] views: elementwise math stays in proven 2D layouts
+        # (in-context 3D "Lane broadcast" failures); batched dot_generals get
+        # fresh slice+reshape [FPP, N, d] operands
+        q = q_ref[0].reshape(FPP * N, D)
+        k = k_ref[0].reshape(FPP * N, D)
+        v = v_ref[0].reshape(FPP * N, D)
         qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
                       preferred_element_type=f32) + bq) * scale
         kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
@@ -1551,7 +1554,7 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
         dattn_all = jax.lax.dot_general(
             g_flat, wproj_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)                    # [FPP*N, D]
-        dattn4 = dattn_all.astype(dtype).reshape(FPP, N, D)
+        dattn2 = dattn_all.astype(dtype)
         gcls = gcls_ref[0]                                 # [1, D]
         dattn_cls = jax.lax.dot_general(
             gcls, wproj_ref[:], (((1,), (1,)), ((), ())),
@@ -1561,61 +1564,66 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
         BATCH_DD = (((2,), (2,)), ((0,), (0,)))   # contract d, batch frames
         BATCH_PT = (((1,), (1,)), ((0,), (0,)))   # contract queries (probs^T)
         BATCH_PV = (((2,), (1,)), ((0,), (0,)))   # probs x keys-dim operand
+
+        def b3(a2, minor):                         # [FPP*N, m] -> [FPP, N, m]
+            return a2.reshape(FPP, N, minor)
+
         dqs, dks, dvs = [], [], []
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]   # [FPP, N, d]
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]         # [FPP*N, d]
             kch = kc[:, sl]                                   # [1, d] fp32
             vch = vc[:, sl]
             qch = qc[:, sl]
             lse_h = lse_ref[0, 0, h]
 
-            logits = jax.lax.dot_general(qh, kh, BATCH_DD,
+            logits = jax.lax.dot_general(b3(qh, d), b3(kh, d), BATCH_DD,
                                          preferred_element_type=f32)
-            cls_logit = jax.lax.dot_general(
-                qh, kch.astype(dtype), (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # [FPP, N, 1]
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
-                            cls_logit)
-            p = jnp.exp(logits - m)
+            l2 = logits.reshape(FPP * N, N)
+            cls_logit = jnp.dot(qh, kch.astype(dtype).T,
+                                preferred_element_type=f32)   # [FPP*N, 1]
+            m = jnp.maximum(jnp.max(l2, axis=-1, keepdims=True), cls_logit)
+            p = jnp.exp(l2 - m)
             p_cls = jnp.exp(cls_logit - m)
             denom = jnp.sum(p, axis=-1, keepdims=True) + p_cls
-            pn = p / denom                                    # [FPP, N, N]
-            pn_cls = p_cls / denom                            # [FPP, N, 1]
+            pn = p / denom                                    # [FPP*N, N]
+            pn_cls = p_cls / denom                            # [FPP*N, 1]
             pn_b = pn.astype(dtype)
 
-            dout = dattn4[..., sl]                            # [FPP, N, d]
+            dout = dattn2[:, sl]                              # [FPP*N, d]
             dout_f = dout.astype(f32)
-            dv_h = jax.lax.dot_general(pn_b, dout, BATCH_PT,
-                                       preferred_element_type=f32)
-            dcv_scr[h, :] += _sum_fn1_times_fnd(pn_cls, dout_f)
-            dp = jax.lax.dot_general(dout, vh, BATCH_DD,
-                                     preferred_element_type=f32)  # [FPP,N,N]
-            dp_cls = _rowdot_fnd(dout_f, vch)
+            dv_h = jax.lax.dot_general(b3(pn_b, N), b3(dout, d), BATCH_PT,
+                                       preferred_element_type=f32) \
+                .reshape(FPP * N, d)
+            dcv_scr[h, :] += jnp.sum(pn_cls * dout_f, axis=0)
+            dp = jax.lax.dot_general(b3(dout, d), b3(vh, d), BATCH_DD,
+                                     preferred_element_type=f32) \
+                .reshape(FPP * N, N)
+            dp_cls = jnp.sum(dout_f * vch, axis=-1, keepdims=True)
             rowsum = jnp.sum(pn * dp, axis=-1, keepdims=True) \
                 + pn_cls * dp_cls
             ds = pn * (dp - rowsum)
-            ds_cls = pn_cls * (dp_cls - rowsum)               # [FPP, N, 1]
+            ds_cls = pn_cls * (dp_cls - rowsum)               # [FPP*N, 1]
             ds_b = ds.astype(dtype)
-            dq_h = jax.lax.dot_general(ds_b, kh, BATCH_PV,
+            dq_h = jax.lax.dot_general(b3(ds_b, N), b3(kh, d), BATCH_PV,
                                        preferred_element_type=f32) \
-                + _outer_fn1(ds_cls, kch)
-            dk_h = jax.lax.dot_general(ds_b, qh, BATCH_PT,
-                                       preferred_element_type=f32)
-            dck_scr[h, :] += _sum_fn1_times_fnd(ds_cls, qh.astype(f32))
+                .reshape(FPP * N, d) + ds_cls * kch
+            dk_h = jax.lax.dot_general(b3(ds_b, N), b3(qh, d), BATCH_PT,
+                                       preferred_element_type=f32) \
+                .reshape(FPP * N, d)
+            dck_scr[h, :] += jnp.sum(ds_cls * qh.astype(f32), axis=0)
 
             # ---- CLS row contribution from these frames' keys --------------
             dout_c = dattn_cls[:, sl]                         # [1, d] fp32
             delta_h = jnp.sum(acls[:, sl] * dout_c)
-            lrow = jax.lax.dot_general(
-                kh.astype(f32), qch, (((2,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # [FPP, N, 1]
+            lrow = jnp.dot(kh.astype(f32), qch.T,
+                           preferred_element_type=f32)        # [FPP*N, 1]
             pn_row = jnp.exp(lrow - lse_h)
-            dv_h = dv_h + _outer_fn1(pn_row, dout_c)
-            dp_row = _rowdot_fnd(vh.astype(f32), dout_c)
-            ds_row = pn_row * (dp_row - delta_h)              # [FPP, N, 1]
-            dqc_scr[h, :] += _sum_fn1_times_fnd(ds_row, kh.astype(f32))
-            dk_h = dk_h + _outer_fn1(ds_row, qch)
+            dv_h = dv_h + pn_row * dout_c
+            dp_row = jnp.sum(vh.astype(f32) * dout_c, axis=-1, keepdims=True)
+            ds_row = pn_row * (dp_row - delta_h)              # [FPP*N, 1]
+            dqc_scr[h, :] += jnp.sum(ds_row * kh.astype(f32), axis=0)
+            dk_h = dk_h + ds_row * qch
 
             @pl.when(t == 0)
             def _self(h=h, qch=qch, kch=kch, vch=vch, dout_c=dout_c,
@@ -1638,9 +1646,9 @@ def _make_space_bwd_kernel_v5(H: int, FPP: int):
             preferred_element_type=f32)
         dbproj_ref[...] += jnp.sum(g_flat.astype(f32), axis=0, keepdims=True)
 
-        dq = jnp.concatenate(dqs, axis=-1).reshape(FPP * N, D) * scale
-        dk = jnp.concatenate(dks, axis=-1).reshape(FPP * N, D)
-        dv = jnp.concatenate(dvs, axis=-1).reshape(FPP * N, D)
+        dq = jnp.concatenate(dqs, axis=-1) * scale        # [FPP*N, D]
+        dk = jnp.concatenate(dks, axis=-1)
+        dv = jnp.concatenate(dvs, axis=-1)
         dq_b, dk_b, dv_b = (dq.astype(dtype), dk.astype(dtype),
                             dv.astype(dtype))
         ROWS = (((0,), (0,)), ((), ()))           # contract the token rows
