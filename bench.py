@@ -55,7 +55,9 @@ def main():
         # time chunk 128): 142 clips/s vs 94.2 for the round-1 v1 kernels
         # v4 = v2 with the T-leading time kernel (2 transpose sets/program
         # instead of 4): 148.9 vs 143.4 clips/s, identical numerics band
-        kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "4"))
+        # v7 = d-major TOWER ([B,T,D,N] activations across all sub-path
+        # kernels, transposes paid once at entry/exit): 156.4, same band
+        kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "7"))
         tchunk = int(os.environ.get("TVTS_TPU_BENCH_TCHUNK", "128"))
         sv = int(os.environ.get("TVTS_TPU_BENCH_SV", "2"))
         sfpp = int(os.environ.get("TVTS_TPU_BENCH_SFPP", "0")) or None

@@ -51,6 +51,32 @@ def test_fused_forward_openclip_pool(version):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("version", [7, 8])
+@pytest.mark.parametrize("pool,act", [("openai", "quick_gelu"),
+                                      ("openclip", "gelu")])
+def test_fused_forward_v7_dmajor_matches_apply(pool, act, version):
+    """kernel_version=7 (d-major tower: [B,T,D,N] activations across all three
+    sub-path kernels, transposes paid once at tower entry/exit) and
+    kernel_version=8 (v7 with space+MLP fused per block) vs model.apply."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5,
+                       act=act, pool_style=pool)
+    rng = np.random.default_rng(3)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2] for _ in range(2)]).astype(np.int32))
+
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_pooled, want_tokens = model.apply({"params": params}, video, keep)
+    pooled, tokens = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pooled),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tokens), np.asarray(want_tokens),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_fused_forward_v6_whole_block_matches_apply():
     """kernel_version=6 (whole-block megakernel) vs model.apply, fp32
     interpret mode, tiny geometry."""

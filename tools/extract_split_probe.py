@@ -21,10 +21,14 @@ import numpy as np
 from tvts_tpu.ops.fused_forward import _layernorm, _mlp, _var_attention_xla
 from tvts_tpu.ops.pallas_block_attention import (
     fused_mlp_block,
+    fused_mlp_block_v7,
     fused_space_attention_block_v2,
     fused_space_attention_block_v3,
+    fused_space_attention_block_v7,
+    fused_spacemlp_block_v7,
     fused_time_attention_block_v2,
     fused_time_attention_block_v4,
+    fused_time_attention_block_v7,
 )
 
 B = int(os.environ.get("B", 32))
@@ -113,6 +117,26 @@ def main():
                                    "quick_gelu")),
                     (x,) + mw),
     }
+
+    # v7 d-major cases: activations [B, T, D, N] + row-major [B, 1, D] CLS
+    xT = jnp.swapaxes(x[:, 1:].reshape(B, T, N, D), -1, -2)
+    cls = x[:, :1]
+
+    def chainT(sub):
+        def run(xT, cls, *w):
+            for _ in range(DEPTH):
+                xT, cls = sub(xT, cls, *w)
+            return jnp.sum(xT.astype(jnp.float32))
+        return run
+
+    cases["time/v7"] = (chainT(lambda xT, cls, *w: fused_time_attention_block_v7(
+        xT, cls, *w, num_heads=H)), (xT, cls) + aw)
+    cases["space/v7"] = (chainT(lambda xT, cls, *w: fused_space_attention_block_v7(
+        xT, xT, cls, cls, *w, num_heads=H)), (xT, cls) + aw)
+    cases["mlp/v7"] = (chainT(lambda xT, cls, *w: fused_mlp_block_v7(
+        xT, cls, *w)), (xT, cls) + mw)
+    cases["spacemlp/v7"] = (chainT(lambda xT, cls, *w: fused_spacemlp_block_v7(
+        xT, xT, cls, cls, *w, num_heads=H)), (xT, cls) + aw + mw)
 
     only = os.environ.get("CASES")
     if only:

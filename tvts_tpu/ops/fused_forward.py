@@ -75,6 +75,67 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
     Returns (pooled, tokens) per the config's pool_style."""
     x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
     n_keep = (x.shape[1] - 1) // T
+    if kernel_version in (7, 8):
+        # d-major tower: activations stay [B, T, D, N] across all sub-path
+        # kernels (the v3/v4 per-program transposes paid once at tower
+        # entry/exit; PERF.md round-3 d-major section). v8 = v7 with the
+        # space+MLP sub-paths fused into one kernel (one fewer [B,T,D,N]
+        # HBM round-trip per block).
+        from tvts_tpu.ops.pallas_block_attention import (
+            fused_mlp_block_v7,
+            fused_space_attention_block_v7,
+            fused_spacemlp_block_v7,
+            fused_time_attention_block_v7,
+        )
+
+        B, D = x.shape[0], cfg.width
+        cls = x[:, :1]
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, n_keep, D), -1, -2)
+        tc = time_chunk if n_keep % time_chunk == 0 else n_keep
+        for i in range(cfg.layers):
+            bp = params[f"blocks_{i}"]
+            trT, trc = fused_time_attention_block_v7(
+                xT, cls,
+                bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                bp["timeattn"]["proj"]["bias"].astype(dtype),
+                num_heads=cfg.heads, chunk=tc, interpret=interpret)
+            if kernel_version == 8:
+                xT, cls = fused_spacemlp_block_v7(
+                    trT, xT, trc, cls,
+                    bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                    bp["attn"]["qkv"]["kernel"].astype(dtype),
+                    bp["attn"]["qkv"]["bias"].astype(dtype),
+                    bp["attn"]["proj"]["kernel"].astype(dtype),
+                    bp["attn"]["proj"]["bias"].astype(dtype),
+                    bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                    bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                    bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                    bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                    bp["mlp"]["c_proj"]["bias"].astype(dtype),
+                    num_heads=cfg.heads, act=cfg.act, interpret=interpret)
+                continue
+            srT, src = fused_space_attention_block_v7(
+                trT, xT, trc, cls,
+                bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                bp["attn"]["qkv"]["kernel"].astype(dtype),
+                bp["attn"]["qkv"]["bias"].astype(dtype),
+                bp["attn"]["proj"]["kernel"].astype(dtype),
+                bp["attn"]["proj"]["bias"].astype(dtype),
+                num_heads=cfg.heads, interpret=interpret)
+            xT, cls = fused_mlp_block_v7(
+                srT, src,
+                bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                bp["mlp"]["c_proj"]["bias"].astype(dtype),
+                act=cfg.act, interpret=interpret)
+        x = jnp.concatenate(
+            [cls, jnp.swapaxes(xT, -1, -2).reshape(B, T * n_keep, D)], axis=1)
+        return _pool(params, cfg, x, dtype)
     if kernel_version == 6:
         # whole-block megakernel: time+space+MLP in ONE Pallas call per
         # block, exact CLS rows, one HBM round-trip per block

@@ -1824,6 +1824,527 @@ def _make_block_kernel_v6(H: int, T: int, N: int, act: str,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# v7 kernels: d-MAJOR TOWER (extraction fast path).
+#
+# The v3 space kernel's lhsT-batched attention math runs 1.31x the v2 per-head
+# form at N=196 (tools/mxu_lane_probe.py), but loses end-to-end because each
+# program pays a [N,D]<->[D,N] transpose round-trip (2.57 us/pair = ~11.8 ms
+# per 12-block chain). v7 moves the WHOLE tower to d-major activations —
+# patches live as [B, T, D, N] (locations in lanes) between sub-paths, so the
+# transposes are paid ONCE at tower entry/exit instead of per kernel:
+#   - space: the v3 body verbatim, minus the per-program transposes;
+#   - time:  the v4 body minus its two transpose sets (in and out);
+#   - mlp:   a d-major MLP kernel ([4D,D] @ [D,N] spellings).
+# The CLS token stays row-major [B, 1, D] (single row; in-kernel [1,D]<->[D,1]
+# vector transposes are free relayouts). The time kernel's lane chunk must
+# DIVIDE N (no padded lanes may reach the space kernel, whose attention mixes
+# locations within a frame). Reference contract unchanged:
+# video_encoder_ViT_B_16.py:109-124 per block.
+# ---------------------------------------------------------------------------
+
+
+def _lnT_fn(ln_sT, ln_bT):
+    """LayerNorm over SUBLANES for d-major [D, n] tiles (params [D, 1])."""
+    def layernorm(tT):
+        tf = tT.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=0, keepdims=True)           # [1, n]
+        var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+        return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_sT + ln_bT
+    return layernorm
+
+
+def _make_space_block_kernel_v7(H: int):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """Grid (B, T), t minor. x/base/o blocks [1, 1, D, N] (d-major);
+        cls/ocls [1, 1, D] row-major. o = base + projT; ocls at t == T-1."""
+        D = x_ref.shape[2]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = o_ref.dtype
+        f32 = jnp.float32
+
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        bprojT = bprojT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+
+        xT = x_ref[0, 0]                                   # [D, N] (no .T)
+        clsT = cls_ref[0].T                                # [D, 1]
+        x_lnT = lnT(xT).astype(dtype)
+        cls_lnT = lnT(clsT).astype(dtype)
+
+        qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
+                       preferred_element_type=f32)         # [3D, N]
+        qT = ((qkvT[:D] + bqT) * scale).astype(dtype)
+        kT = (qkvT[D:2 * D] + bkT).astype(dtype)
+        vT = (qkvT[2 * D:] + bvT).astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        q3 = qT.reshape(H, d, -1)
+        k3 = kT.reshape(H, d, -1)
+        v3 = vT.reshape(H, d, -1)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))          # over head dim d
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))         # over key lanes
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)  # [H,Nq,Nk]
+        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)   # [H, Nq]
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)                         # [H, Nq]
+        denom = jnp.sum(p, axis=-1) + p_cls
+        oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
+                                  preferred_element_type=f32)  # [H, d, Nq]
+        oT3 = (oT3 + vc3 * p_cls[:, None, :]) / denom[:, None, :]
+        attn_T = oT3.astype(dtype).reshape(D, -1)
+
+        projT = jnp.dot(wprojT_ref[:], attn_T,
+                        preferred_element_type=f32) + bprojT   # [D, N]
+        o_ref[0, 0] = (base_ref[0, 0].astype(f32) + projT).astype(dtype)
+
+        # CLS row: online accumulation (all-vector scratch ops)
+        lc = jnp.sum(k3.astype(f32) * qc3, axis=1)         # [H, Nk]
+        c_max = jnp.max(lc, axis=1, keepdims=True)         # [H, 1]
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)
+        corr = jnp.exp(m_old - m_new)                      # [H, 1]
+        p_c = jnp.exp(lc - m_new)                          # [H, Nk]
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p_c, axis=1, keepdims=True)
+        pv = jnp.sum(v3.astype(f32) * p_c[:, None, :], axis=2,
+                     keepdims=True)                        # [H, d, 1]
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) + bprojT  # [D, 1]
+            ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
+                                   wqkv, bqkv, wproj, bproj, num_heads: int,
+                                   interpret: bool = False):
+    """d-major space sub-path incl. residual from baseT. xT/baseT: [B,T,D,N];
+    cls/basecls: [B,1,D]. Returns (oT [B,T,D,N], ocls [B,1,D])."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    oT, ocls = pl.pallas_call(
+        _make_space_block_kernel_v7(H),
+        grid=(B, T),
+        in_specs=[frameT_spec, frameT_spec, cls_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
+                  wprojT_spec, vecT_spec],
+        out_specs=(frameT_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1))
+    return oT, ocls
+
+
+def _make_spacemlp_block_kernel_v7(H: int, act: str):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               ln2_sT_ref, ln2_bT_ref, wfcT_ref, bfcT_ref, wprT_ref, bprT_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """Space sub-path + MLP sub-path of one block in a single program:
+        the [D, N] space residual never round-trips HBM between them. Grid
+        (B, T), t minor; o = s + mlpT(s) where s = base + space_projT."""
+        D = x_ref.shape[2]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = o_ref.dtype
+        f32 = jnp.float32
+
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        bprojT = bprojT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+        ln2T = _lnT_fn(ln2_sT_ref[:].astype(f32), ln2_bT_ref[:].astype(f32))
+        bfcT = bfcT_ref[:].astype(f32)                     # [4D, 1]
+        bprT = bprT_ref[:].astype(f32)                     # [D, 1]
+
+        def mlpT(sT):                                      # [D, n] f32 -> f32
+            y = ln2T(sT).astype(dtype)
+            h = jnp.dot(wfcT_ref[:], y, preferred_element_type=f32) + bfcT
+            if act == "quick_gelu":
+                h = h * jax.nn.sigmoid(1.702 * h)
+            else:
+                h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+            return sT + jnp.dot(wprT_ref[:], h.astype(dtype),
+                                preferred_element_type=f32) + bprT
+
+        xT = x_ref[0, 0]                                   # [D, N]
+        clsT = cls_ref[0].T                                # [D, 1]
+        x_lnT = lnT(xT).astype(dtype)
+        cls_lnT = lnT(clsT).astype(dtype)
+
+        qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
+                       preferred_element_type=f32)         # [3D, N]
+        qT = ((qkvT[:D] + bqT) * scale).astype(dtype)
+        kT = (qkvT[D:2 * D] + bkT).astype(dtype)
+        vT = (qkvT[2 * D:] + bvT).astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        q3 = qT.reshape(H, d, -1)
+        k3 = kT.reshape(H, d, -1)
+        v3 = vT.reshape(H, d, -1)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))          # over head dim d
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))         # over key lanes
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)  # [H,Nq,Nk]
+        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)   # [H, Nq]
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)                         # [H, Nq]
+        denom = jnp.sum(p, axis=-1) + p_cls
+        oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
+                                  preferred_element_type=f32)  # [H, d, Nq]
+        oT3 = (oT3 + vc3 * p_cls[:, None, :]) / denom[:, None, :]
+        attn_T = oT3.astype(dtype).reshape(D, -1)
+
+        projT = jnp.dot(wprojT_ref[:], attn_T,
+                        preferred_element_type=f32) + bprojT   # [D, N]
+        sT = base_ref[0, 0].astype(f32) + projT
+        o_ref[0, 0] = mlpT(sT).astype(dtype)
+
+        # CLS row: online accumulation (all-vector scratch ops)
+        lc = jnp.sum(k3.astype(f32) * qc3, axis=1)         # [H, Nk]
+        c_max = jnp.max(lc, axis=1, keepdims=True)         # [H, 1]
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)
+        corr = jnp.exp(m_old - m_new)                      # [H, 1]
+        p_c = jnp.exp(lc - m_new)                          # [H, Nk]
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p_c, axis=1, keepdims=True)
+        pv = jnp.sum(v3.astype(f32) * p_c[:, None, :], axis=2,
+                     keepdims=True)                        # [H, d, 1]
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) + bprojT  # [D, 1]
+            scT = basecls_ref[0].astype(f32).T + projcT
+            ocls_ref[0] = mlpT(scT).T.astype(dtype)
+
+    return kernel
+
+
+def fused_spacemlp_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
+                            wqkv, bqkv, wproj, bproj, ln2_scale, ln2_bias,
+                            wfc, bfc, wpr, bpr, num_heads: int,
+                            act: str = "quick_gelu", interpret: bool = False):
+    """d-major space+MLP fused sub-path (one HBM round-trip for both).
+    xT/baseT: [B,T,D,N]; cls/basecls: [B,1,D]. Returns (oT, ocls)."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    hidden = wfc.shape[1]
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    hvecT_spec = pl.BlockSpec((hidden, 1), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    wfcT_spec = pl.BlockSpec((hidden, D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wprT_spec = pl.BlockSpec((D, hidden), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    oT, ocls = pl.pallas_call(
+        _make_spacemlp_block_kernel_v7(H, act),
+        grid=(B, T),
+        in_specs=[frameT_spec, frameT_spec, cls_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
+                  wprojT_spec, vecT_spec, vecT_spec, vecT_spec, wfcT_spec,
+                  hvecT_spec, wprT_spec, vecT_spec],
+        out_specs=(frameT_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1), ln2_scale.reshape(D, 1),
+      ln2_bias.reshape(D, 1), wfc.T, bfc.reshape(hidden, 1), wpr.T,
+      bpr.reshape(D, 1))
+    return oT, ocls
+
+
+def _make_time_block_kernel_v7(H: int, T: int):
+    def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """Grid (B, C), c minor. x/o blocks [1, T, D, Nc] (d-major, Nc | N so
+        no padded lanes exist); cls/ocls [1, 1, D]. o = x + projT."""
+        D = x_ref.shape[2]
+        d = D // H
+        c = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = o_ref.dtype
+
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+
+        xT = x_ref[0]                                      # [T, D, Nc]
+        qs, ks, vs = [], [], []
+        for t in range(T):
+            x_lnT_t = lnT(xT[t]).astype(dtype)             # [D, Nc]
+            qkvT_t = jnp.dot(wqkvT_ref[:], x_lnT_t,
+                             preferred_element_type=f32)   # [3D, Nc]
+            qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
+            ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
+            vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
+
+        # [T, D, Nc] stacks -> [H, T, d, Nc] head tiles (sublane split +
+        # leading transpose; softmax stays H-leading, v4 pattern)
+        def heads(ts):
+            return jnp.transpose(jnp.stack(ts).reshape(T, H, d, -1),
+                                 (1, 0, 2, 3)).astype(f32)
+
+        q4 = heads(qs)
+        k4 = heads(ks)
+        v4 = heads(vs)
+
+        cls_lnT = lnT(cls_ref[0].T).astype(dtype)          # [D, 1]
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = (qkv_cT[:D] + bqT).reshape(H, d, 1) * scale
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        @pl.when(c == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        # ---- per-location time attention (H-leading, v2/v4 math) -----------
+        outs_t = []
+        for t in range(T):
+            qt = q4[:, t]                                  # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
+            cls_l = jnp.sum(qt * kc3, axis=1)[:, None]     # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
+            out_t = out_t + p[:, 0][:, None, :] * vc3
+            outs_t.append((out_t / denom).astype(dtype).reshape(D, -1))
+
+        # ---- CLS row: online accumulation (all lanes valid: Nc | N) --------
+        lc_all = jnp.sum(k4 * qc3[:, None], axis=2)        # [H, T, Nc]
+        c_max = jnp.max(jnp.max(lc_all, axis=2), axis=1, keepdims=True)
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)                  # [H, 1]
+        corr = jnp.exp(m_old - m_new)
+        p_c = jnp.exp(lc_all - m_new[..., None])           # [H, T, Nc]
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr \
+            + jnp.sum(jnp.sum(p_c, axis=2), axis=1, keepdims=True)
+        pv = jnp.sum(v4 * p_c[:, :, None, :], axis=(1, 3))     # [H, d]
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv[..., None]
+
+        # ---- projection + residual (no transpose out) -----------------------
+        bprojT = bprojT_ref[:].astype(f32)
+        for t in range(T):
+            projT_t = jnp.dot(wprojT_ref[:], outs_t[t],
+                              preferred_element_type=f32) + bprojT  # [D, Nc]
+            o_ref[0, t] = (xT[t].astype(f32) + projT_t).astype(dtype)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) + bprojT   # [D, 1]
+            ocls_ref[0] = (cls_ref[0].astype(f32) + projcT.T).astype(dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
+                                  wproj, bproj, num_heads: int,
+                                  chunk: int | None = None,
+                                  interpret: bool = False):
+    """d-major time sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
+    chunk must divide N (defaults to N if it does not) — padded lanes must
+    never reach the downstream space kernel. Returns (oT, ocls)."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    if chunk is None or N % chunk != 0:
+        chunk = N
+
+    chunkT_spec = pl.BlockSpec((1, T, D, chunk), lambda b, c: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    oT, ocls = pl.pallas_call(
+        _make_time_block_kernel_v7(H, T),
+        grid=(B, N // chunk),
+        in_specs=[chunkT_spec, cls_spec, vecT_spec, vecT_spec, wqkvT_spec,
+                  vecT_spec, vecT_spec, vecT_spec, wprojT_spec, vecT_spec],
+        out_specs=(chunkT_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1))
+    return oT, ocls
+
+
+def _make_mlp_kernel_v7(act: str):
+    def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref, wfcT_ref, bfcT_ref,
+               wprT_ref, bprT_ref, o_ref, ocls_ref):
+        """Grid (B, T). x/o blocks [1, 1, D, N] (d-major); cls handled at
+        t == 0. o = x + c_projT(act(c_fcT(lnT(x))))."""
+        f32 = jnp.float32
+        dtype = o_ref.dtype
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+        bfcT = bfcT_ref[:].astype(f32)                     # [4D, 1]
+        bprT = bprT_ref[:].astype(f32)                     # [D, 1]
+
+        def mlpT(tT):                                      # [D, n] -> [D, n]
+            y = lnT(tT).astype(dtype)
+            h = jnp.dot(wfcT_ref[:], y, preferred_element_type=f32) + bfcT
+            if act == "quick_gelu":
+                h = h * jax.nn.sigmoid(1.702 * h)
+            else:
+                h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+            out = jnp.dot(wprT_ref[:], h.astype(dtype),
+                          preferred_element_type=f32) + bprT
+            return tT.astype(f32) + out
+
+        o_ref[0, 0] = mlpT(x_ref[0, 0]).astype(dtype)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _cls():
+            ocls_ref[0] = mlpT(cls_ref[0].T).T.astype(dtype)
+
+    return kernel
+
+
+def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
+                       act: str = "quick_gelu", interpret: bool = False):
+    """d-major MLP sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
+    Returns (oT, ocls)."""
+    B, T, D, N = xT.shape
+    hidden = wfc.shape[1]
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    hvecT_spec = pl.BlockSpec((hidden, 1), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wfcT_spec = pl.BlockSpec((hidden, D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wprT_spec = pl.BlockSpec((D, hidden), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    oT, ocls = pl.pallas_call(
+        _make_mlp_kernel_v7(act),
+        grid=(B, T),
+        in_specs=[frameT_spec, cls_spec, vecT_spec, vecT_spec, wfcT_spec,
+                  hvecT_spec, wprT_spec, vecT_spec],
+        out_specs=(frameT_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1), wfc.T,
+      bfc.reshape(hidden, 1), wproj.T, bproj.reshape(D, 1))
+    return oT, ocls
+
+
 def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
                    num_heads: int, act: str = "quick_gelu",
                    mlp_chunk: int = 512, dtype=jnp.bfloat16,
