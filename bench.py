@@ -43,8 +43,14 @@ def main():
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(B, cfg.num_frames, 3, cfg.input_resolution,
                                          cfg.input_resolution)).astype(np.float32))
-    keep = jnp.asarray(np.tile(np.arange(cfg.patches_per_frame, dtype=np.int32),
-                               (B, 1)))
+    # extraction applies no tube masking (the reference extraction path never
+    # gathers); TVTS_TPU_BENCH_KEEP=1 restores the explicit full-arange gather
+    # for comparison with pre-round-3 numbers
+    if os.environ.get("TVTS_TPU_BENCH_KEEP", "0") == "1":
+        keep = jnp.asarray(np.tile(np.arange(cfg.patches_per_frame,
+                                             dtype=np.int32), (B, 1)))
+    else:
+        keep = None
 
     params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
 
@@ -62,13 +68,17 @@ def main():
         sv = int(os.environ.get("TVTS_TPU_BENCH_SV", "2"))
         sfpp = int(os.environ.get("TVTS_TPU_BENCH_SFPP", "0")) or None
         mchunk = int(os.environ.get("TVTS_TPU_BENCH_MCHUNK", "256"))
+        # extraction consumes the pooled CLS embedding only; =1 restores the
+        # full-token ln_post projection (pre-round-3 semantics)
+        toks = os.environ.get("TVTS_TPU_BENCH_TOKENS", "0") == "1"
+        scan = os.environ.get("TVTS_TPU_BENCH_SCAN", "0") == "1"
 
         @jax.jit
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
                 params, cfg, video, keep, kernel_version=kv,
                 time_chunk=tchunk, space_version=sv, space_fpp=sfpp,
-                mlp_chunk=mchunk)
+                mlp_chunk=mchunk, need_tokens=toks, scan_blocks=scan)
             return pooled
     else:
         @jax.jit

@@ -214,6 +214,21 @@ def test_fused_train_step_matches_xla(monkeypatch):
     state_f, aux_f = step_f(create_train_state(params, tx), batch)
     assert np.isfinite(float(aux_f["loss"]))
 
+    # scan-over-blocks (one kernel trace per sub-path, stacked weights) must
+    # reproduce the unrolled fused loss AND gradients
+    apply_scan = make_fused_train_apply(
+        model, cfg, num_frames=cfg.vision.num_frames,
+        n_keep=cfg.vision.n_keep, dtype=jnp.float32, time_chunk=8,
+        scan_blocks=True, interpret=True)
+    loss_scan = make_loss_fn(model, apply_fn=apply_scan)
+    (l_s, _), g_s = jax.value_and_grad(loss_scan, has_aux=True)(params, batch)
+    np.testing.assert_allclose(float(l_s), float(l_f), rtol=1e-6)
+    flat_s = jax.tree_util.tree_flatten_with_path(g_s)[0]
+    for (path, a), (_, b) in zip(flat_s, flat_f):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=name)
+
 
 @pytest.mark.parametrize("shape,fpp", [((2, 3, 5, 32), 1), ((2, 4, 5, 32), 4)])
 def test_space_subpath_v5_grads(shape, fpp):

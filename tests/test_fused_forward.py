@@ -77,6 +77,38 @@ def test_fused_forward_v7_dmajor_matches_apply(pool, act, version):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("version", [7, 8])
+def test_fused_forward_v7_scan_blocks_matches_unrolled(version):
+    """scan_blocks=True (lax.scan over stacked per-block weights — one kernel
+    trace per sub-path instead of cfg.layers) must be bit-equal to the
+    unrolled depth loop; need_tokens=False must return the same pooled
+    embedding with tokens=None."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=3,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    rng = np.random.default_rng(5)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_pooled, want_tokens = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version,
+        interpret=True)
+    pooled, tokens = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version,
+        scan_blocks=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(want_pooled))
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want_tokens))
+
+    pooled_nt, tokens_nt = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=version,
+        scan_blocks=True, need_tokens=False, interpret=True)
+    assert tokens_nt is None
+    np.testing.assert_allclose(np.asarray(pooled_nt), np.asarray(want_pooled),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_fused_forward_v6_whole_block_matches_apply():
     """kernel_version=6 (whole-block megakernel) vs model.apply, fp32
     interpret mode, tiny geometry."""

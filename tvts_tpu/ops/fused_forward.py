@@ -70,9 +70,17 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  space_version: int = 2,
                                  space_fpp: int | None = None,
                                  mlp_chunk: int = 256,
+                                 need_tokens: bool = True,
+                                 scan_blocks: bool = False,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
-    Returns (pooled, tokens) per the config's pool_style."""
+    Returns (pooled, tokens) per the config's pool_style; with
+    need_tokens=False the tokens output is None and the full-token ln_post
+    projection is skipped (extraction consumes the CLS embedding only).
+    scan_blocks=True (kernel_version 7/8 only) runs the depth loop as a
+    lax.scan over stacked per-block weights, so each sub-path kernel is
+    traced/compiled ONCE instead of cfg.layers times — much smaller MLIR and
+    far faster remote compiles, identical math."""
     x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
     n_keep = (x.shape[1] - 1) // T
     if kernel_version in (7, 8):
@@ -92,6 +100,51 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
         cls = x[:, :1]
         xT = jnp.swapaxes(x[:, 1:].reshape(B, T, n_keep, D), -1, -2)
         tc = time_chunk if n_keep % time_chunk == 0 else n_keep
+        if scan_blocks:
+            names = (["ln_3.scale", "ln_3.bias", "timeattn.qkv.kernel",
+                      "timeattn.qkv.bias", "timeattn.proj.kernel",
+                      "timeattn.proj.bias", "ln_1.scale", "ln_1.bias",
+                      "attn.qkv.kernel", "attn.qkv.bias", "attn.proj.kernel",
+                      "attn.proj.bias", "ln_2.scale", "ln_2.bias",
+                      "mlp.c_fc.kernel", "mlp.c_fc.bias",
+                      "mlp.c_proj.kernel", "mlp.c_proj.bias"])
+
+            def pick(i, name):
+                node = params[f"blocks_{i}"]
+                for k in name.split("."):
+                    node = node[k]
+                # LN params stay f32 (in-kernel fp32 LN); weights/biases bf16
+                return node if name.startswith("ln_") else node.astype(dtype)
+
+            stacked = [jnp.stack([pick(i, n) for i in range(cfg.layers)])
+                       for n in names]
+
+            def body(carry, bw):
+                xT, cls = carry
+                (ln3s, ln3b, twq, tbq, twp, tbp, ln1s, ln1b, swq, sbq, swp,
+                 sbp, ln2s, ln2b, wfc, bfc, wpr, bpr) = bw
+                trT, trc = fused_time_attention_block_v7(
+                    xT, cls, ln3s, ln3b, twq, tbq, twp, tbp,
+                    num_heads=cfg.heads, chunk=tc, interpret=interpret)
+                if kernel_version == 8:
+                    xT, cls = fused_spacemlp_block_v7(
+                        trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
+                        ln2s, ln2b, wfc, bfc, wpr, bpr,
+                        num_heads=cfg.heads, act=cfg.act, interpret=interpret)
+                else:
+                    srT, src = fused_space_attention_block_v7(
+                        trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
+                        num_heads=cfg.heads, interpret=interpret)
+                    xT, cls = fused_mlp_block_v7(
+                        srT, src, ln2s, ln2b, wfc, bfc, wpr, bpr,
+                        act=cfg.act, interpret=interpret)
+                return (xT, cls), None
+
+            (xT, cls), _ = jax.lax.scan(body, (xT, cls), tuple(stacked))
+            x = jnp.concatenate(
+                [cls, jnp.swapaxes(xT, -1, -2).reshape(B, T * n_keep, D)],
+                axis=1)
+            return _pool(params, cfg, x, dtype, need_tokens)
         for i in range(cfg.layers):
             bp = params[f"blocks_{i}"]
             trT, trc = fused_time_attention_block_v7(
@@ -135,7 +188,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 act=cfg.act, interpret=interpret)
         x = jnp.concatenate(
             [cls, jnp.swapaxes(xT, -1, -2).reshape(B, T * n_keep, D)], axis=1)
-        return _pool(params, cfg, x, dtype)
+        return _pool(params, cfg, x, dtype, need_tokens)
     if kernel_version == 6:
         # whole-block megakernel: time+space+MLP in ONE Pallas call per
         # block, exact CLS rows, one HBM round-trip per block
@@ -147,7 +200,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 patches_per_frame=n_keep, num_heads=cfg.heads, act=cfg.act,
                 mlp_chunk=mlp_chunk if mlp_chunk != 256 else 512,
                 dtype=dtype, interpret=interpret)
-        return _pool(params, cfg, x, dtype)
+        return _pool(params, cfg, x, dtype, need_tokens)
     if kernel_version in (2, 4):
         # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
         # no XLA-side k/v round-trips or [B,TN,H,d] tile-inflated reshapes.
@@ -189,7 +242,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["mlp"]["c_proj"]["kernel"].astype(dtype),
                 bp["mlp"]["c_proj"]["bias"].astype(dtype),
                 act=cfg.act, chunk=mlp_chunk, interpret=interpret)
-        return _pool(params, cfg, x, dtype)
+        return _pool(params, cfg, x, dtype, need_tokens)
 
     for i in range(cfg.layers):
         bp = params[f"blocks_{i}"]
@@ -231,7 +284,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
             x = space_residual + _mlp(_layernorm(space_residual, bp["ln_2"]),
                                       bp["mlp"], cfg.act)
 
-    return _pool(params, cfg, x, dtype)
+    return _pool(params, cfg, x, dtype, need_tokens)
 
 
 def _embed_stem(params, cfg, video, keep_ind, dtype):
@@ -266,6 +319,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              space_mode: str = "pallas",
                              time_mode: str = "pallas",
                              save_acts: bool = True,
+                             scan_blocks: bool = False,
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -341,30 +395,49 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
             ln = {"scale": ln_s, "bias": ln_b}
             return x + _mlp(_layernorm(x, ln), p, cfg.act)
 
+    def block_weights(bp):
+        return ((bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                 bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                 bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                 bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                 bp["timeattn"]["proj"]["bias"].astype(dtype)),
+                (bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                 bp["attn"]["qkv"]["kernel"].astype(dtype),
+                 bp["attn"]["qkv"]["bias"].astype(dtype),
+                 bp["attn"]["proj"]["kernel"].astype(dtype),
+                 bp["attn"]["proj"]["bias"].astype(dtype)),
+                (bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                 bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                 bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                 bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                 bp["mlp"]["c_proj"]["bias"].astype(dtype)))
+
+    def block_body(x, bw):
+        tw, sw, mw = bw
+        tr = time_f(x, *tw)
+        sr = space_f(tr, x, *sw)
+        return mlp_f(sr, *mw)
+
     def fwd(params, video, keep_ind=None):
         x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
         assert T == num_frames and (x.shape[1] - 1) // T == n_keep, \
             "shape mismatch vs factory configuration"
-        for i in range(cfg.layers):
-            bp = params[f"blocks_{i}"]
-            tr = time_f(
-                x, bp["ln_3"]["scale"], bp["ln_3"]["bias"],
-                bp["timeattn"]["qkv"]["kernel"].astype(dtype),
-                bp["timeattn"]["qkv"]["bias"].astype(dtype),
-                bp["timeattn"]["proj"]["kernel"].astype(dtype),
-                bp["timeattn"]["proj"]["bias"].astype(dtype))
-            sr = space_f(
-                tr, x, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
-                bp["attn"]["qkv"]["kernel"].astype(dtype),
-                bp["attn"]["qkv"]["bias"].astype(dtype),
-                bp["attn"]["proj"]["kernel"].astype(dtype),
-                bp["attn"]["proj"]["bias"].astype(dtype))
-            x = mlp_f(
-                sr, bp["ln_2"]["scale"], bp["ln_2"]["bias"],
-                bp["mlp"]["c_fc"]["kernel"].astype(dtype),
-                bp["mlp"]["c_fc"]["bias"].astype(dtype),
-                bp["mlp"]["c_proj"]["kernel"].astype(dtype),
-                bp["mlp"]["c_proj"]["bias"].astype(dtype))
+        if scan_blocks:
+            # lax.scan over stacked per-block weights: each sub-path kernel
+            # (and its custom-VJP backward) is traced/compiled ONCE instead
+            # of cfg.layers times — the fused H/14 train graph's MLIR shrinks
+            # ~cfg.layers x, below the remote compile helper's memory cap.
+            # scan AD stacks the per-block residuals exactly as the unrolled
+            # loop saves them, so activation memory is unchanged.
+            stacked = jax.tree.map(
+                lambda *ls: jnp.stack(ls),
+                *[block_weights(params[f"blocks_{i}"])
+                  for i in range(cfg.layers)])
+            x, _ = jax.lax.scan(lambda x, bw: (block_body(x, bw), None),
+                                x, stacked)
+        else:
+            for i in range(cfg.layers):
+                x = block_body(x, block_weights(params[f"blocks_{i}"]))
         return _pool(params, cfg, x, dtype)
 
     return fwd
@@ -374,6 +447,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
                            mlp_mode: str = "xla", space_mode: str = "pallas",
                            time_mode: str = "pallas", save_acts: bool = True,
+                           scan_blocks: bool = False,
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
@@ -384,6 +458,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          space_mode=space_mode,
                                          time_mode=time_mode,
                                          save_acts=save_acts,
+                                         scan_blocks=scan_blocks,
                                          interpret=interpret)
 
     def apply(params, batch):
@@ -407,12 +482,17 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
     return apply
 
 
-def _pool(params, cfg, x, dtype):
+def _pool(params, cfg, x, dtype, need_tokens=True):
     proj = params["proj"].astype(dtype)
     if cfg.pool_style == "openai":
+        if not need_tokens:
+            # extraction only consumes the CLS embedding; LN is per-token so
+            # narrowing to row 0 before the projection is numerically exact
+            # (XLA does not reliably push the slice through the matmul)
+            return _layernorm(x[:, :1], params["ln_post"])[:, 0] @ proj, None
         full = _layernorm(x, params["ln_post"]) @ proj
         return full[:, 0], full
     # openclip (H/14): ln_post on the CLS only; tokens without ln_post/CLS
     pooled = _layernorm(x[:, :1], params["ln_post"])[:, 0] @ proj
-    tokens = x[:, 1:] @ proj
+    tokens = x[:, 1:] @ proj if need_tokens else None
     return pooled, tokens
