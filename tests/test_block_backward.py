@@ -249,3 +249,161 @@ def test_space_subpath_v5_grads(shape, fpp):
     for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    rtol=2e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("shape", [(2, 3, 5, 32)])
+@pytest.mark.parametrize("save_attn", [False, True])
+def test_space_subpath_v7_grads(shape, save_attn):
+    """d-major TOWER space sub-path (v7 train): d-major in/out, zero
+    per-program transposes. Checked against the row-major XLA reference by
+    transposing at the boundary."""
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v7
+
+    B, T, N, D = shape
+    H = 4
+    args = _attn_args(7, B, T, N, D)
+    f7 = make_space_subpath_v7(H, save_attn=save_attn, interpret=True)
+    ref = _space_ref(T, N, H)
+
+    def f(x, base, *w):
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, N, D), -1, -2)
+        baseT = jnp.swapaxes(base[:, 1:].reshape(B, T, N, D), -1, -2)
+        oT, ocls = f7(xT, baseT, x[:, :1], base[:, :1], *w)
+        return jnp.concatenate(
+            [ocls, jnp.swapaxes(oT, -1, -2).reshape(B, T * N, D)], axis=1)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("shape,chunk,save_attn",
+                         [((2, 3, 6, 32), 3, False),
+                          ((2, 3, 6, 32), 3, True),
+                          ((1, 4, 9, 64), None, False)])
+def test_time_subpath_v7_grads(shape, chunk, save_attn):
+    """d-major TOWER time sub-path (v7 train): d-major in/out, no
+    lane<->sublane transpose sets."""
+    from tvts_tpu.ops.pallas_block_backward import make_time_subpath_v7
+
+    B, T, N, D = shape
+    H = 4
+    x, _, ln_s, ln_b, wqkv, bqkv, wproj, bproj = _attn_args(9, B, T, N, D)
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    f7 = make_time_subpath_v7(H, chunk=chunk, save_attn=save_attn,
+                              interpret=True)
+    ref = _time_ref(T, N, H)
+
+    def f(x, *w):
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, N, D), -1, -2)
+        oT, ocls = f7(xT, x[:, :1], *w)
+        return jnp.concatenate(
+            [ocls, jnp.swapaxes(oT, -1, -2).reshape(B, T * N, D)], axis=1)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(7)))(*args)
+    names = ["dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for n, a, b in zip(names, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_mlp_subpath_v7_grads(act):
+    """d-major TOWER MLP sub-path (v7 train): saved pre-activation hiddens,
+    lane-contraction weight grads."""
+    from tvts_tpu.ops.fused_forward import _mlp
+    from tvts_tpu.ops.pallas_block_backward import make_mlp_subpath_v7
+
+    rng = np.random.default_rng(11)
+    B, T, N, D, Hd = 2, 3, 5, 32, 128
+    S = 1 + T * N
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    ln_s = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    wfc = jnp.asarray((rng.normal(size=(D, Hd)) * 0.07).astype(np.float32))
+    bfc = jnp.asarray((rng.normal(size=(Hd,)) * 0.07).astype(np.float32))
+    wpr = jnp.asarray((rng.normal(size=(Hd, D)) * 0.07).astype(np.float32))
+    bpr = jnp.asarray((rng.normal(size=(D,)) * 0.07).astype(np.float32))
+    args = (x, ln_s, ln_b, wfc, bfc, wpr, bpr)
+
+    def ref(x, ln_s, ln_b, wfc, bfc, wpr, bpr):
+        p = {"c_fc": {"kernel": wfc, "bias": bfc},
+             "c_proj": {"kernel": wpr, "bias": bpr}}
+        return x + _mlp(_layernorm(x, {"scale": ln_s, "bias": ln_b}), p, act)
+
+    f7 = make_mlp_subpath_v7(act=act, interpret=True)
+
+    def f(x, *w):
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, N, D), -1, -2)
+        oT, ocls = f7(xT, x[:, :1], *w)
+        return jnp.concatenate(
+            [ocls, jnp.swapaxes(oT, -1, -2).reshape(B, T * N, D)], axis=1)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(7)))(*args)
+    names = ["dx", "dls", "dlb", "dwfc", "dbfc", "dwpr", "dbpr"]
+    for n, a, b in zip(names, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+def test_fused_train_step_dmajor_matches_xla():
+    """Full TVTSv2 train step with the d-major v7 tower (layout='dmajor',
+    all three sub-paths Pallas fwd+bwd, interpret) matches the XLA train
+    step: loss + gradients; scan and unrolled agree."""
+    from tests.test_train_step import make_batch
+    from tests.test_tvtsv2_parity import tiny_config
+    from tvts_tpu.models.tvts_v2 import TVTSv2
+    from tvts_tpu.ops.fused_forward import make_fused_train_apply
+    from tvts_tpu.train.step import make_loss_fn
+
+    cfg = tiny_config("openai")
+    batch = make_batch(cfg, B=2)
+    model = TVTSv2(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["video"][:1],
+                        batch["text_ids"][: cfg.num_clips],
+                        batch["keep_ind"][:1])["params"]
+
+    apply_fn = make_fused_train_apply(
+        model, cfg, num_frames=cfg.vision.num_frames,
+        n_keep=cfg.vision.n_keep, dtype=jnp.float32, time_chunk=8,
+        layout="dmajor", interpret=True)
+    loss_ref = make_loss_fn(model)
+    loss_dm = make_loss_fn(model, apply_fn=apply_fn)
+    (l_r, _), g_r = jax.value_and_grad(loss_ref, has_aux=True)(params, batch)
+    (l_d, _), g_d = jax.value_and_grad(loss_dm, has_aux=True)(params, batch)
+    np.testing.assert_allclose(float(l_d), float(l_r), rtol=1e-5)
+    flat_r = jax.tree_util.tree_flatten_with_path(g_r)[0]
+    flat_d = jax.tree_util.tree_flatten_with_path(g_d)[0]
+    for (path, a), (_, b) in zip(flat_d, flat_r):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=2e-3, err_msg=name)
+
+    apply_scan = make_fused_train_apply(
+        model, cfg, num_frames=cfg.vision.num_frames,
+        n_keep=cfg.vision.n_keep, dtype=jnp.float32, time_chunk=8,
+        layout="dmajor", scan_blocks=True, interpret=True)
+    loss_scan = make_loss_fn(model, apply_fn=apply_scan)
+    (l_s, _), g_s = jax.value_and_grad(loss_scan, has_aux=True)(params, batch)
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-6)
+    flat_s = jax.tree_util.tree_flatten_with_path(g_s)[0]
+    for (path, a), (_, b) in zip(flat_s, flat_d):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=name)

@@ -92,10 +92,13 @@ def main():
             space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"),
             time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
             save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
-            scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1")
+            scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
+            layout=os.environ.get("TVTS_LAYOUT", "row"))
         print("fused train path (Pallas fwd+bwd megakernels)"
               + (" [scan-over-blocks]"
-                 if os.environ.get("TVTS_SCAN", "0") == "1" else ""))
+                 if os.environ.get("TVTS_SCAN", "0") == "1" else "")
+              + (" [d-major tower]"
+                 if os.environ.get("TVTS_LAYOUT", "row") == "dmajor" else ""))
     step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 
     t0 = time.perf_counter()

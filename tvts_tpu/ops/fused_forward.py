@@ -320,6 +320,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              time_mode: str = "pallas",
                              save_acts: bool = True,
                              scan_blocks: bool = False,
+                             layout: str = "row",
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -330,6 +331,14 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
     mlp_mode="pallas" keeps the all-kernel path (lower activation memory).
     Shapes are fixed at factory time (num_frames, n_keep) as in training.
 
+    layout="dmajor" runs the d-major TOWER (v7 train): activations stay
+    [B,T,D,N] (+ row-major [B,1,D] CLS) across ALL blocks, all three
+    sub-paths (incl. the MLP, which saves its pre-activation hiddens) run v7
+    Pallas kernels with custom-VJP backwards, and every per-program
+    lane<->sublane transpose of the v2/v3 train kernels disappears — the
+    boundary transposes are paid once at tower entry/exit (and mirrored
+    automatically in their AD). space/time/mlp modes are ignored there.
+
     Returns fn(params, video, keep_ind) -> (pooled, tokens)."""
     from tvts_tpu.ops.pallas_block_attention import make_mlp_subpath
     from tvts_tpu.ops.pallas_block_backward import (
@@ -337,15 +346,35 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         make_time_subpath,
     )
 
+    if layout not in ("row", "dmajor"):
+        raise ValueError(f"layout {layout!r} not in ('row', 'dmajor')")
+    if layout == "dmajor":
+        return _make_dmajor_train_forward(cfg, num_frames, n_keep,
+                                          dtype=dtype, time_chunk=time_chunk,
+                                          scan_blocks=scan_blocks,
+                                          interpret=interpret)
     if space_mode not in ("pallas", "pallas_v2", "pallas_v5", "xla"):
         raise ValueError(f"space_mode {space_mode!r} not in "
                          "('pallas', 'pallas_v2', 'pallas_v5', 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
-    if time_mode not in ("pallas", "pallas_v3"):
+    if time_mode not in ("pallas", "pallas_v3", "xla"):
         raise ValueError(f"time_mode {time_mode!r} not in "
-                         "('pallas', 'pallas_v3')")
-    if time_mode == "pallas_v3":
+                         "('pallas', 'pallas_v3', 'xla')")
+    if time_mode == "xla":
+        # H/14 memory mode: the v2 time backward's scoped VMEM (f32
+        # weight-grad accumulators + recompute working set at D=1280)
+        # exceeds the v5e's ~100 MB scoped ceiling (112-127 MB measured);
+        # XLA's time sub-path is layout-slow at B/16 but its probs tensors
+        # are tiny (T=12 keys/query), so it composes with the fused space
+        # sub-path without the remat-copy regression the SPACE-XLA hybrid hit
+        def time_f(x, ln_s, ln_b, wq, bq, wp, bp):
+            p = {"qkv": {"kernel": wq, "bias": bq},
+                 "proj": {"kernel": wp, "bias": bp}}
+            ln = {"scale": ln_s, "bias": ln_b}
+            return x + _var_attention_xla(
+                _layernorm(x, ln), p, num_frames, n_keep, "time", cfg.heads)
+    elif time_mode == "pallas_v3":
         # v3 d-major T-leading backward (transposed saves): see
         # ops/pallas_block_backward.make_time_subpath_v3 + PERF.md round 3
         from tvts_tpu.ops.pallas_block_backward import make_time_subpath_v3
@@ -443,11 +472,78 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
     return fwd
 
 
+def _make_dmajor_train_forward(cfg: VisionConfig, num_frames: int,
+                               n_keep: int, dtype=jnp.bfloat16,
+                               time_chunk: int = 128,
+                               scan_blocks: bool = False,
+                               interpret: bool = False):
+    """The v7 d-major differentiable tower (see make_fused_train_forward's
+    layout="dmajor" docstring)."""
+    from tvts_tpu.ops.pallas_block_backward import (
+        make_mlp_subpath_v7,
+        make_space_subpath_v7,
+        make_time_subpath_v7,
+    )
+
+    tc = time_chunk if n_keep % time_chunk == 0 else None
+    time_f = make_time_subpath_v7(cfg.heads, chunk=tc, interpret=interpret)
+    space_f = make_space_subpath_v7(cfg.heads, interpret=interpret)
+    mlp_f = make_mlp_subpath_v7(act=cfg.act, interpret=interpret)
+
+    def block_weights(bp):
+        return ((bp["ln_3"]["scale"], bp["ln_3"]["bias"],
+                 bp["timeattn"]["qkv"]["kernel"].astype(dtype),
+                 bp["timeattn"]["qkv"]["bias"].astype(dtype),
+                 bp["timeattn"]["proj"]["kernel"].astype(dtype),
+                 bp["timeattn"]["proj"]["bias"].astype(dtype)),
+                (bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                 bp["attn"]["qkv"]["kernel"].astype(dtype),
+                 bp["attn"]["qkv"]["bias"].astype(dtype),
+                 bp["attn"]["proj"]["kernel"].astype(dtype),
+                 bp["attn"]["proj"]["bias"].astype(dtype)),
+                (bp["ln_2"]["scale"], bp["ln_2"]["bias"],
+                 bp["mlp"]["c_fc"]["kernel"].astype(dtype),
+                 bp["mlp"]["c_fc"]["bias"].astype(dtype),
+                 bp["mlp"]["c_proj"]["kernel"].astype(dtype),
+                 bp["mlp"]["c_proj"]["bias"].astype(dtype)))
+
+    def block_body(carry, bw):
+        xT, cls = carry
+        tw, sw, mw = bw
+        trT, trc = time_f(xT, cls, *tw)
+        srT, src = space_f(trT, xT, trc, cls, *sw)
+        return mlp_f(srT, src, *mw)
+
+    def fwd(params, video, keep_ind=None):
+        x, T = _embed_stem(params, cfg, video, keep_ind, dtype)
+        assert T == num_frames and (x.shape[1] - 1) // T == n_keep, \
+            "shape mismatch vs factory configuration"
+        B, D = x.shape[0], cfg.width
+        cls = x[:, :1]
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, n_keep, D), -1, -2)
+        if scan_blocks:
+            stacked = jax.tree.map(
+                lambda *ls: jnp.stack(ls),
+                *[block_weights(params[f"blocks_{i}"])
+                  for i in range(cfg.layers)])
+            (xT, cls), _ = jax.lax.scan(
+                lambda c, bw: (block_body(c, bw), None), (xT, cls), stacked)
+        else:
+            for i in range(cfg.layers):
+                xT, cls = block_body((xT, cls),
+                                     block_weights(params[f"blocks_{i}"]))
+        x = jnp.concatenate(
+            [cls, jnp.swapaxes(xT, -1, -2).reshape(B, T * n_keep, D)], axis=1)
+        return _pool(params, cfg, x, dtype)
+
+    return fwd
+
+
 def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
                            mlp_mode: str = "xla", space_mode: str = "pallas",
                            time_mode: str = "pallas", save_acts: bool = True,
-                           scan_blocks: bool = False,
+                           scan_blocks: bool = False, layout: str = "row",
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
@@ -459,6 +555,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          time_mode=time_mode,
                                          save_acts=save_acts,
                                          scan_blocks=scan_blocks,
+                                         layout=layout,
                                          interpret=interpret)
 
     def apply(params, batch):

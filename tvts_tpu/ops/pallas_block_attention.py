@@ -1854,12 +1854,29 @@ def _lnT_fn(ln_sT, ln_bT):
     return layernorm
 
 
-def _make_space_block_kernel_v7(H: int):
+def _make_space_block_kernel_v7(H: int, save_stats: bool = False,
+                                save_acts: bool = False,
+                                save_attn: bool = True):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
-               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
         """Grid (B, T), t minor. x/base/o blocks [1, 1, D, N] (d-major);
-        cls/ocls [1, 1, D] row-major. o = base + projT; ocls at t == T-1."""
+        cls/ocls [1, 1, D] row-major. o = base + projT; ocls at t == T-1.
+        With save_stats/save_acts the d-major activations (qT/kT/vT[/attnT]
+        [B,T,D,N]) + CLS softmax stats come back for the v7 backward
+        (save_attn=False drops the attnT save — the backward recomputes it
+        from the probs it already rebuilds, trading one matmul per program
+        for [B,T,D,N] of HBM saves)."""
+        if save_stats and save_acts and save_attn:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats and save_acts:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         D = x_ref.shape[2]
         d = D // H
         t = pl.program_id(1)
@@ -1883,6 +1900,10 @@ def _make_space_block_kernel_v7(H: int):
         qT = ((qkvT[:D] + bqT) * scale).astype(dtype)
         kT = (qkvT[D:2 * D] + bkT).astype(dtype)
         vT = (qkvT[2 * D:] + bvT).astype(dtype)
+        if save_acts:
+            qT_ref[0, 0] = qT
+            kT_ref[0, 0] = kT
+            vT_ref[0, 0] = vT
         qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
                          preferred_element_type=f32)       # [3D, 1]
         qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
@@ -1912,6 +1933,8 @@ def _make_space_block_kernel_v7(H: int):
                                   preferred_element_type=f32)  # [H, d, Nq]
         oT3 = (oT3 + vc3 * p_cls[:, None, :]) / denom[:, None, :]
         attn_T = oT3.astype(dtype).reshape(D, -1)
+        if save_acts and save_attn:
+            attnT_ref[0, 0] = attn_T
 
         projT = jnp.dot(wprojT_ref[:], attn_T,
                         preferred_element_type=f32) + bprojT   # [D, N]
@@ -1936,15 +1959,23 @@ def _make_space_block_kernel_v7(H: int):
             projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
                              preferred_element_type=f32) + bprojT  # [D, 1]
             ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+            if save_stats:
+                lse_ref[0] = (m_scr[...] + jnp.log(l_scr[...])).T  # [1, H]
+                acls_ref[0] = cls_attT                     # [D, 1] fp32
 
     return kernel
 
 
 def fused_space_attention_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
                                    wqkv, bqkv, wproj, bproj, num_heads: int,
+                                   save_stats: bool = False,
+                                   save_acts: bool = False,
+                                   save_attn: bool = True,
                                    interpret: bool = False):
     """d-major space sub-path incl. residual from baseT. xT/baseT: [B,T,D,N];
-    cls/basecls: [B,1,D]. Returns (oT [B,T,D,N], ocls [B,1,D])."""
+    cls/basecls: [B,1,D]. Returns (oT [B,T,D,N], ocls [B,1,D]); with
+    save_stats+save_acts also (lse, aclsT, qT, kT, vT, attnT) for the v7
+    train backward."""
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -1960,16 +1991,31 @@ def fused_space_attention_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
     wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
 
+    out_specs = [frameT_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), xT.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                      jax.ShapeDtypeStruct((B, D, 1), jnp.float32)]
+        if save_acts:
+            n_acts = 4 if save_attn else 3
+            out_specs += [frameT_spec] * n_acts
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, N),
+                                               xT.dtype)] * n_acts
+
     b3 = bqkv.reshape(3, D)
-    oT, ocls = pl.pallas_call(
-        _make_space_block_kernel_v7(H),
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v7(H, save_stats, save_acts, save_attn),
         grid=(B, T),
         in_specs=[frameT_spec, frameT_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
                   wprojT_spec, vecT_spec],
-        out_specs=(frameT_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
@@ -1979,7 +2025,7 @@ def fused_space_attention_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
     )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
       wproj.T, bproj.reshape(D, 1))
-    return oT, ocls
+    return outs
 
 
 def _make_spacemlp_block_kernel_v7(H: int, act: str):
@@ -2138,12 +2184,25 @@ def fused_spacemlp_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
     return oT, ocls
 
 
-def _make_time_block_kernel_v7(H: int, T: int):
+def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
+                               save_acts: bool = False,
+                               save_attn: bool = True):
     def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
-               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
         """Grid (B, C), c minor. x/o blocks [1, T, D, Nc] (d-major, Nc | N so
-        no padded lanes exist); cls/ocls [1, 1, D]. o = x + projT."""
+        no padded lanes exist); cls/ocls [1, 1, D]. o = x + projT. With
+        save_stats/save_acts: d-major qT/kT/vT/attnT [B,T,D,N] + CLS stats."""
+        if save_stats and save_acts and save_attn:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats and save_acts:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         D = x_ref.shape[2]
         d = D // H
         c = pl.program_id(1)
@@ -2165,6 +2224,10 @@ def _make_time_block_kernel_v7(H: int, T: int):
             qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
             ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
             vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
+            if save_acts:
+                qT_ref[0, t] = qs[-1]
+                kT_ref[0, t] = ks[-1]
+                vT_ref[0, t] = vs[-1]
 
         # [T, D, Nc] stacks -> [H, T, d, Nc] head tiles (sublane split +
         # leading transpose; softmax stays H-leading, v4 pattern)
@@ -2219,6 +2282,8 @@ def _make_time_block_kernel_v7(H: int, T: int):
         # ---- projection + residual (no transpose out) -----------------------
         bprojT = bprojT_ref[:].astype(f32)
         for t in range(T):
+            if save_acts and save_attn:
+                attnT_ref[0, t] = outs_t[t]
             projT_t = jnp.dot(wprojT_ref[:], outs_t[t],
                               preferred_element_type=f32) + bprojT  # [D, Nc]
             o_ref[0, t] = (xT[t].astype(f32) + projT_t).astype(dtype)
@@ -2229,6 +2294,9 @@ def _make_time_block_kernel_v7(H: int, T: int):
             projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
                              preferred_element_type=f32) + bprojT   # [D, 1]
             ocls_ref[0] = (cls_ref[0].astype(f32) + projcT.T).astype(dtype)
+            if save_stats:
+                lse_ref[0] = (m_scr[...] + jnp.log(l_scr[...])).T  # [1, H]
+                acls_ref[0] = cls_attT                     # [D, 1] fp32
 
     return kernel
 
@@ -2236,10 +2304,14 @@ def _make_time_block_kernel_v7(H: int, T: int):
 def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
                                   wproj, bproj, num_heads: int,
                                   chunk: int | None = None,
+                                  save_stats: bool = False,
+                                  save_acts: bool = False,
+                                  save_attn: bool = True,
                                   interpret: bool = False):
     """d-major time sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
     chunk must divide N (defaults to N if it does not) — padded lanes must
-    never reach the downstream space kernel. Returns (oT, ocls)."""
+    never reach the downstream space kernel. Returns (oT, ocls); with
+    save_stats+save_acts also (lse, aclsT, qT, kT, vT, attnT)."""
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2257,15 +2329,30 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
     wprojT_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
                                memory_space=pltpu.VMEM)
 
+    out_specs = [chunkT_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), xT.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, H), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, D, 1), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                      jax.ShapeDtypeStruct((B, D, 1), jnp.float32)]
+        if save_acts:
+            n_acts = 4 if save_attn else 3
+            out_specs += [chunkT_spec] * n_acts
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, N),
+                                               xT.dtype)] * n_acts
+
     b3 = bqkv.reshape(3, D)
-    oT, ocls = pl.pallas_call(
-        _make_time_block_kernel_v7(H, T),
+    outs = pl.pallas_call(
+        _make_time_block_kernel_v7(H, T, save_stats, save_acts, save_attn),
         grid=(B, N // chunk),
         in_specs=[chunkT_spec, cls_spec, vecT_spec, vecT_spec, wqkvT_spec,
                   vecT_spec, vecT_spec, vecT_spec, wprojT_spec, vecT_spec],
-        out_specs=(chunkT_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
@@ -2275,44 +2362,59 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
     )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
       wproj.T, bproj.reshape(D, 1))
-    return oT, ocls
+    return outs
 
 
-def _make_mlp_kernel_v7(act: str):
+def _make_mlp_kernel_v7(act: str, save_h: bool = False):
     def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref, wfcT_ref, bfcT_ref,
-               wprT_ref, bprT_ref, o_ref, ocls_ref):
+               wprT_ref, bprT_ref, o_ref, ocls_ref, *rest):
         """Grid (B, T). x/o blocks [1, 1, D, N] (d-major); cls handled at
-        t == 0. o = x + c_projT(act(c_fcT(lnT(x))))."""
+        t == 0. o = x + c_projT(act(c_fcT(lnT(x)))). With save_h the
+        PRE-activation hidden ([B,T,4D,N] + [B,4D,1] CLS) comes back for the
+        v7 backward (the XLA-MLP strategy: reuse saved hiddens instead of
+        recomputing the fc matmul in the backward)."""
+        if save_h:
+            h_ref, hcls_ref = rest
         f32 = jnp.float32
         dtype = o_ref.dtype
         lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
         bfcT = bfcT_ref[:].astype(f32)                     # [4D, 1]
         bprT = bprT_ref[:].astype(f32)                     # [D, 1]
 
-        def mlpT(tT):                                      # [D, n] -> [D, n]
+        def mlpT(tT):             # [D, n] -> (out [D, n] f32, h_pre bf16)
             y = lnT(tT).astype(dtype)
-            h = jnp.dot(wfcT_ref[:], y, preferred_element_type=f32) + bfcT
+            h_pre = (jnp.dot(wfcT_ref[:], y, preferred_element_type=f32)
+                     + bfcT).astype(dtype)
+            h = h_pre.astype(f32)
             if act == "quick_gelu":
                 h = h * jax.nn.sigmoid(1.702 * h)
             else:
                 h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
             out = jnp.dot(wprT_ref[:], h.astype(dtype),
                           preferred_element_type=f32) + bprT
-            return tT.astype(f32) + out
+            return tT.astype(f32) + out, h_pre
 
-        o_ref[0, 0] = mlpT(x_ref[0, 0]).astype(dtype)
+        out, h_pre = mlpT(x_ref[0, 0])
+        o_ref[0, 0] = out.astype(dtype)
+        if save_h:
+            h_ref[0, 0] = h_pre
 
         @pl.when(pl.program_id(1) == 0)
         def _cls():
-            ocls_ref[0] = mlpT(cls_ref[0].T).T.astype(dtype)
+            out_c, h_c = mlpT(cls_ref[0].T)
+            ocls_ref[0] = out_c.T.astype(dtype)
+            if save_h:
+                hcls_ref[0] = h_c
 
     return kernel
 
 
 def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
-                       act: str = "quick_gelu", interpret: bool = False):
+                       act: str = "quick_gelu", save_h: bool = False,
+                       interpret: bool = False):
     """d-major MLP sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
-    Returns (oT, ocls)."""
+    Returns (oT, ocls); with save_h also (h [B,T,4D,N], hcls [B,4D,1]) —
+    the pre-activation hiddens for the v7 backward."""
     B, T, D, N = xT.shape
     hidden = wfc.shape[1]
 
@@ -2329,20 +2431,30 @@ def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
     wprT_spec = pl.BlockSpec((D, hidden), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM)
 
-    oT, ocls = pl.pallas_call(
-        _make_mlp_kernel_v7(act),
+    out_specs = [frameT_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), xT.dtype)]
+    if save_h:
+        out_specs += [pl.BlockSpec((1, 1, hidden, N), lambda b, t: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, hidden, 1), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, T, hidden, N), xT.dtype),
+                      jax.ShapeDtypeStruct((B, hidden, 1), xT.dtype)]
+
+    outs = pl.pallas_call(
+        _make_mlp_kernel_v7(act, save_h),
         grid=(B, T),
         in_specs=[frameT_spec, cls_spec, vecT_spec, vecT_spec, wfcT_spec,
                   hvecT_spec, wprT_spec, vecT_spec],
-        out_specs=(frameT_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1), wfc.T,
       bfc.reshape(hidden, 1), wproj.T, bproj.reshape(D, 1))
-    return oT, ocls
+    return outs
 
 
 def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,

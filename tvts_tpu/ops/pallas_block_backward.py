@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tvts_tpu.ops.pallas_block_attention import (
+    _erf,
     _outer_fn1,
     _rowdot_fnd,
     _sum_fn1_times_fnd,
@@ -1818,6 +1819,830 @@ def make_space_subpath_v5(num_frames: int, patches_per_frame: int,
         return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# v7 TRAIN sub-paths: the d-major TOWER, differentiable.
+#
+# The v3 train kernels still pay per-program [N,D]<->[D,N] transposes at their
+# boundaries (x.T in, dx.T out in the space backward; a dattn transpose set in
+# the time backward) because the tower activations were row-major. Here the
+# whole training tower carries activations d-major ([B,T,D,N] + row-major
+# [B,1,D] CLS) across ALL blocks — the same layout the v7 extraction tower
+# uses (PERF.md round-3 d-major section) — so every boundary transpose
+# disappears from both the forwards and the backwards. Weight-gradient
+# contractions use A@B^T lane-contraction dot_generals (legal per the Mosaic
+# rules in CLAUDE.md) instead of transposing activations.
+#
+# The MLP sub-path joins the kernel path here: its backward consumes the
+# PRE-activation hiddens saved by the forward (h: [B,T,4D,N]) — the same
+# save-the-hiddens strategy that made XLA's MLP backward 2.2x the recomputing
+# Pallas pair in round 2 — so the fc matmul is never recomputed.
+# Gradient contracts match jax.grad of the XLA sub-paths
+# (tests/test_block_backward.py::test_*_v7_*).
+# ---------------------------------------------------------------------------
+
+
+def _make_space_bwd_kernel_v7(H: int, use_saved_attn: bool = True):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, wqkv_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
+               lse_ref, aclsT_ref, qT_ref, kT_ref, vT_ref, *rest):
+        if use_saved_attn:
+            attnT_ref = rest[0]
+            rest = rest[1:]
+        (dx_ref, dxcls_ref, dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref,
+         dwproj_ref, dbprojT_ref, dlsT_ref, dlbT_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
+        """Grid (B, T), t minor. g/x/dx are d-major [1,1,D,N] frame blocks;
+        cls rows stay row-major [1,1,D]. No per-program transposes."""
+        D = x_ref.shape[2]
+        N = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (t == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref, dwproj_ref,
+                        dbprojT_ref, dlsT_ref, dlbT_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(t == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_sT = ln_sT_ref[:].astype(f32)
+        ln_bT = ln_bT_ref[:].astype(f32)
+        bqT = bqT_ref[:].astype(f32)
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        LANE_NN = (((1,), (1,)), ((), ()))                 # A @ B^T over lanes
+
+        def lnT_fwd(tT):
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (tf - mu) * rstd
+            return xhat * ln_sT + ln_bT, xhat, rstd
+
+        xT = x_ref[0, 0]                                   # [D, N] (no .T)
+        clsT = cls_ref[0].T                                # [D, 1]
+        x_lnT_f, xhatT, rstdT = lnT_fwd(xT)
+        x_lnT = x_lnT_f.astype(dtype)
+        cls_lnT_f, xhat_cT, rstd_cT = lnT_fwd(clsT)
+        cls_lnT = cls_lnT_f.astype(dtype)
+
+        qT = qT_ref[0, 0]
+        kT = kT_ref[0, 0]
+        vT = vT_ref[0, 0]
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT, preferred_element_type=f32)
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        q3 = qT.reshape(H, d, N)
+        k3 = kT.reshape(H, d, N)
+        v3 = vT.reshape(H, d, N)
+        k3f = k3.astype(f32)
+        v3f = v3.astype(f32)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))
+        CONTRACT_Q_LHS2 = (((2,), (1,)), ((0,), (0,)))     # lhs lanes x rhs Nq
+
+        gT = g_ref[0, 0]                                   # [D, N] d-major
+        dattnT = jnp.dot(wproj_ref[:], gT,
+                         preferred_element_type=f32)       # [D, N]
+        dout3 = dattnT.reshape(H, d, N)
+        dout_b = dout3.astype(dtype)
+        gcls = gcls_ref[0]                                 # [1, D]
+        dattn_cT = jnp.dot(wproj_ref[:], gcls.T,
+                           preferred_element_type=f32)     # [D, 1]
+        dout_c3 = dattn_cT.reshape(H, d, 1)
+        acls3 = aclsT_ref[0].reshape(H, d, 1)              # fp32
+        lse3 = lse_ref[0].T                                # [H, 1]
+
+        # recompute probs (head-batched)
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)  # [H,Nq,Nk]
+        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)
+        denom = jnp.sum(p, axis=-1) + p_cls
+        pn = p / denom[..., None]                          # [H, Nq, Nk] f32
+        pn_cls = p_cls / denom                             # [H, Nq]
+        pn_b = pn.astype(dtype)
+
+        if use_saved_attn:
+            attn_T = attnT_ref[0, 0]
+        else:
+            # recompute from the probs already rebuilt (one extra matmul,
+            # [B,T,D,N] fewer HBM saves)
+            oT3 = jax.lax.dot_general(v3, pn_b, CONTRACT_NK,
+                                      preferred_element_type=f32) \
+                + vc3 * pn_cls[:, None, :]
+            attn_T = oT3.astype(dtype).reshape(D, N)
+        # dwproj (row-major [D, D]): attn^T @ g via lane-contraction
+        dwproj_ref[...] += jax.lax.dot_general(
+            attn_T, gT, LANE_NN, preferred_element_type=f32)
+        dbprojT_ref[...] += jnp.sum(gT.astype(f32), axis=1, keepdims=True)
+
+        # value grads
+        dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)  # [H, d, Nk]
+        dcv_scr[...] += jnp.sum(dout3 * pn_cls[:, None, :], axis=2,
+                                keepdims=True)
+        # prob grads + softmax bwd
+        dp = jax.lax.dot_general(dout_b, v3, CONTRACT_D,
+                                 preferred_element_type=f32)   # [H, Nq, Nk]
+        dp_cls = jnp.sum(dout3 * vc3, axis=1)              # [H, Nq]
+        rowsum = jnp.sum(pn * dp, axis=-1) + pn_cls * dp_cls
+        ds = pn * (dp - rowsum[..., None])
+        ds_cls = pn_cls * (dp_cls - rowsum)                # [H, Nq]
+        ds_b = ds.astype(dtype)
+        dq3 = jax.lax.dot_general(k3, ds_b, CONTRACT_NK,
+                                  preferred_element_type=f32) \
+            + kc3 * ds_cls[:, None, :]                     # [H, d, Nq]
+        dk3 = jax.lax.dot_general(q3, ds_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)  # [H, d, Nk]
+        dck_scr[...] += jnp.sum(q3.astype(f32) * ds_cls[:, None, :], axis=2,
+                                keepdims=True)
+
+        # CLS row contribution from this frame's keys
+        delta3 = jnp.sum(acls3 * dout_c3, axis=1)          # [H, 1]
+        lrow = jnp.sum(k3f * qc3, axis=1)                  # [H, Nk]
+        pn_row = jnp.exp(lrow - lse3)                      # [H, Nk]
+        dv3 = dv3 + pn_row[:, None, :] * dout_c3
+        dp_row = jnp.sum(v3f * dout_c3, axis=1)            # [H, Nk]
+        ds_row = pn_row * (dp_row - delta3)                # [H, Nk]
+        dqc_scr[...] += jnp.sum(k3f * ds_row[:, None, :], axis=2,
+                                keepdims=True)
+        dk3 = dk3 + qc3 * ds_row[:, None, :]
+
+        @pl.when(t == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc3 * kc3, axis=1) - lse3)  # [H, 1]
+            dcv_scr[...] += p_self[..., None] * dout_c3
+            dp_self = jnp.sum(vc3 * dout_c3, axis=1)       # [H, 1]
+            ds_self = p_self * (dp_self - delta3)          # [H, 1]
+            dqc_scr[...] += ds_self[..., None] * kc3
+            dck_scr[...] += ds_self[..., None] * qc3
+
+        dqT = dq3.reshape(D, N) * scale                    # fp32
+        dkT = dk3.reshape(D, N)
+        dvT = dv3.reshape(D, N)
+        dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=0).astype(dtype)
+        # dwqkvT [3D, D]: dqkv^T @ x_ln via lane-contraction (no x_ln.T)
+        dwqkvT_ref[...] += jax.lax.dot_general(
+            dqkvT, x_lnT, LANE_NN, preferred_element_type=f32)
+        dbqT_ref[...] += jnp.sum(dqT, axis=1, keepdims=True)
+        dbkT_ref[...] += jnp.sum(dkT, axis=1, keepdims=True)
+        dbvT_ref[...] += jnp.sum(dvT, axis=1, keepdims=True)
+
+        dxlnT = jnp.dot(wqkv_ref[:], dqkvT,
+                        preferred_element_type=f32)        # [D, N]
+        dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+        dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+        dxhatT = dxlnT * ln_sT
+        m1 = jnp.mean(dxhatT, axis=0, keepdims=True)       # [1, N]
+        m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+        dxT = (dxhatT - m1 - xhatT * m2) * rstdT
+        dx_ref[0, 0] = dxT.astype(dx_ref.dtype)            # no .T
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqcT = dqc_scr[...].reshape(D, 1) * scale      # fp32
+            dkcT = dck_scr[...].reshape(D, 1)
+            dvcT = dcv_scr[...].reshape(D, 1)
+            dqkv_cT = jnp.concatenate([dqcT, dkcT, dvcT], axis=0).astype(dtype)
+            cls_ln_row = cls_lnT.T                         # [1, D]
+            dwqkvT_ref[...] += jnp.dot(dqkv_cT, cls_ln_row,
+                                       preferred_element_type=f32)
+            dbqT_ref[...] += dqcT
+            dbkT_ref[...] += dkcT
+            dbvT_ref[...] += dvcT
+            dwproj_ref[...] += jnp.dot(aclsT_ref[0].astype(dtype), gcls,
+                                       preferred_element_type=f32)
+            dbprojT_ref[...] += gcls.astype(f32).T
+            dxln_cT = jnp.dot(wqkv_ref[:], dqkv_cT,
+                              preferred_element_type=f32)  # [D, 1]
+            dlsT_ref[...] += dxln_cT * xhat_cT
+            dlbT_ref[...] += dxln_cT
+            dxhat_c = dxln_cT * ln_sT
+            m1c = jnp.mean(dxhat_c, axis=0, keepdims=True)
+            m2c = jnp.mean(dxhat_c * xhat_cT, axis=0, keepdims=True)
+            dxcT = (dxhat_c - m1c - xhat_cT * m2c) * rstd_cT
+            dxcls_ref[0] = dxcT.T.astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
+                                       wqkv, bqkv, wproj, lse, aclsT,
+                                       acts_saved, num_heads: int,
+                                       interpret: bool = False):
+    use_saved_attn = len(acts_saved) == 4
+    """Backward matching fused_space_attention_block_v7 (d-major tower I/O).
+    acts_saved holds the d-major qT/kT/vT/attnT [B,T,D,N]."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    b3 = bqkv.reshape(3, D)
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    clsT_spec = pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel_v7(H, use_saved_attn),
+        grid=(B, T),
+        in_specs=[frameT_spec, cls_spec, frameT_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wproj_spec, lse_spec, clsT_spec]
+        + [frameT_spec] * len(acts_saved),
+        out_specs=(frameT_spec, cls_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                   vecT_spec, wproj_spec, vecT_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj, lse, aclsT, *acts_saved)
+    (dxT, dxcls, dwqkvT, dbqT, dbkT, dbvT, dwproj, dbprojT, dlsT, dlbT) = outs
+    dbqkv = jnp.concatenate([dbqT[:, 0], dbkT[:, 0], dbvT[:, 0]])
+    return (dxT, dxcls, dlsT[:, 0], dlbT[:, 0], dwqkvT.T, dbqkv, dwproj,
+            dbprojT[:, 0])
+
+
+def make_space_subpath_v7(num_heads: int, save_attn: bool = False,
+                          interpret: bool = False):
+    """Differentiable d-major space sub-path for the v7 train tower.
+    f(xT, baseT, cls, basecls, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    -> (oT [B,T,D,N], ocls [B,1,D])."""
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v7
+
+    H = num_heads
+
+    @jax.custom_vjp
+    def f(xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+          bproj):
+        return fused_space_attention_block_v7(
+            xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            bproj, num_heads=H, interpret=interpret)
+
+    def fwd(xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            bproj):
+        outs = fused_space_attention_block_v7(
+            xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv,
+            wproj, bproj, num_heads=H, save_stats=True, save_acts=True,
+            save_attn=save_attn, interpret=interpret)
+        oT, ocls, lse, aclsT = outs[:4]
+        return (oT, ocls), (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            lse, aclsT, tuple(outs[4:]))
+
+    def bwd(res, g):
+        goT, gocls = g
+        (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+         acts) = res
+        dxT, dxcls, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v7_bwd(
+                goT, gocls, xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                lse, aclsT, acts, num_heads=H, interpret=interpret)
+        return (dxT, goT, dxcls, gocls, dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _make_time_bwd_kernel_v7(H: int, T: int, N: int,
+                             use_saved_attn: bool = True):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wqkv_ref, wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
+               lse_ref, aclsT_ref, qT_ref, kT_ref, vT_ref, *rest):
+        if use_saved_attn:
+            attnT_ref = rest[0]
+            rest = rest[1:]
+        (dx_ref, dxcls_ref, dwqkvT_ref, dbq_hd_ref, dbk_hd_ref,
+         dbv_hd_ref, dwproj_ref, dbprojT_ref, dlsT_ref, dlbT_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
+        """Grid (B, C), c minor. g/x/dx are d-major [1,T,D,Nc] chunk blocks
+        (residual folded: dx = g + LN path); cls rows stay row-major. The v3
+        time backward's two remaining lane<->sublane transpose sets (dattn
+        in, dxln out) are gone — the tower is d-major end to end."""
+        D = x_ref.shape[2]
+        Nc = x_ref.shape[3]
+        d = D // H
+        c = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (c == 0)
+        LANE_NN = (((1,), (1,)), ((), ()))                 # A @ B^T over lanes
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkvT_ref, dbq_hd_ref, dbk_hd_ref, dbv_hd_ref,
+                        dwproj_ref, dbprojT_ref, dlsT_ref, dlbT_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(c == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_sT = ln_sT_ref[:].astype(f32)                   # [D, 1]
+        ln_bT = ln_bT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        def lnT_fwd(tT):
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (tf - mu) * rstd
+            return xhat * ln_sT + ln_bT, xhat, rstd
+
+        xT = x_ref[0]                                      # [T, D, Nc]
+        x_lnTs, xhatTs, rstdTs = [], [], []
+        for t in range(T):
+            x_lnT_t, xhatT_t, rstdT_t = lnT_fwd(xT[t])
+            x_lnTs.append(x_lnT_t.astype(dtype))
+            xhatTs.append(xhatT_t)
+            rstdTs.append(rstdT_t)
+        clsT = cls_ref[0].T                                # [D, 1]
+        cls_lnT_f, xhat_cT, rstd_cT = lnT_fwd(clsT)
+        cls_lnT = cls_lnT_f.astype(dtype)
+
+        # saved d-major activations -> [H, T, d, Nc] head tiles (sublane
+        # split + leading transpose; no lane<->sublane traffic)
+        def heads(ref):
+            return jnp.transpose(ref[0].reshape(T, H, d, Nc),
+                                 (1, 0, 2, 3)).astype(f32)
+
+        q4 = heads(qT_ref)
+        k4 = heads(kT_ref)
+        v4 = heads(vT_ref)
+
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT, preferred_element_type=f32)
+        qc4 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc4 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc4 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        # upstream grads: d-major reprojection, no transpose set
+        gT = g_ref[0]                                      # [T, D, Nc]
+        dattnT_ts = []
+        for t in range(T):
+            dattnT_ts.append(jnp.dot(wproj_ref[:], gT[t],
+                                     preferred_element_type=f32)
+                             .astype(dtype))               # [D, Nc]
+        dout4 = jnp.transpose(jnp.stack(dattnT_ts).reshape(T, H, d, Nc),
+                              (1, 0, 2, 3)).astype(f32)    # [H, T, d, Nc]
+        gcls = gcls_ref[0]                                 # [1, D]
+        dattn_cT = jnp.dot(wproj_ref[:], gcls.T,
+                           preferred_element_type=f32)     # [D, 1]
+        dout_c4 = dattn_cT.reshape(H, d, 1)
+        acls4 = aclsT_ref[0].reshape(H, d, 1)              # fp32
+        lse2 = lse_ref[0].T                                # [H, 1]
+        lse4 = lse2[..., None]                             # [H, 1, 1]
+
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, Nc), 1) + c * Nc
+        valid = loc < N                                    # [T, Nc]
+
+        # ---- attention backward (H-leading, v3 math on v7 layout) ----------
+        dk4 = jnp.zeros_like(k4)
+        dv4 = jnp.zeros_like(v4)
+        dq_ts = []
+        attn_ts = []
+        for t in range(T):
+            qt = q4[:, t]                                  # [H, d, Nc]
+            l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
+            cls_l = jnp.sum(qt * kc4, axis=1)[:, None]     # [H, 1, Nc]
+            full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
+            m = jnp.max(full, axis=1, keepdims=True)
+            p = jnp.exp(full - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            pn = p / denom                                 # [H, T+1, Nc]
+            if not use_saved_attn:
+                # recompute the pre-proj attention output from pn (no
+                # [B,T,D,N] attnT save round-trip)
+                attn_t = (jnp.sum(pn[:, 1:][:, :, None] * v4, axis=1)
+                          + pn[:, 0][:, None, :] * vc4.astype(f32))
+                attn_ts.append(attn_t.reshape(D, Nc).astype(dtype))
+
+            dout_t = dout4[:, t]                           # [H, d, Nc]
+            dv4 = dv4 + pn[:, 1:][:, :, None] * dout_t[:, None]
+            dcv_scr[...] += jnp.sum(pn[:, 0][:, None, :] * dout_t, axis=2,
+                                    keepdims=True)
+            dp = jnp.sum(v4 * dout_t[:, None], axis=2)     # [H, T, Nc]
+            dp_cls = jnp.sum(vc4 * dout_t, axis=1)[:, None]    # [H, 1, Nc]
+            full_dp = jnp.concatenate([dp_cls, dp], axis=1)
+            rowsum = jnp.sum(pn * full_dp, axis=1, keepdims=True)
+            ds = pn * (full_dp - rowsum)                   # [H, T+1, Nc]
+            dq_ts.append(jnp.sum(ds[:, 1:][:, :, None] * k4, axis=1)
+                         + ds[:, 0][:, None, :] * kc4)     # [H, d, Nc]
+            dk4 = dk4 + ds[:, 1:][:, :, None] * qt[:, None]
+            dck_scr[...] += jnp.sum(ds[:, 0][:, None, :] * qt, axis=2,
+                                    keepdims=True)
+
+        # ---- CLS row over this chunk's (valid) keys ------------------------
+        delta4 = jnp.sum(acls4 * dout_c4, axis=1, keepdims=True)  # [H, 1, 1]
+        lrow = jnp.sum(k4 * qc4[:, None], axis=2)          # [H, T, Nc]
+        pn_row = jnp.where(valid[None], jnp.exp(lrow - lse4), 0.0)
+        dv4 = dv4 + pn_row[:, :, None, :] * dout_c4[:, None]
+        dp_row = jnp.sum(v4 * dout_c4[:, None], axis=2)    # [H, T, Nc]
+        ds_row = pn_row * (dp_row - delta4)
+        dqc_scr[...] += jnp.sum(ds_row[:, :, None, :] * k4,
+                                axis=(1, 3))[:, :, None]
+        dk4 = dk4 + ds_row[:, :, None, :] * qc4[:, None]
+
+        @pl.when(c == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc4 * kc4, axis=1) - lse2)   # [H, 1]
+            dcv_scr[...] += p_self[..., None] * dout_c4
+            dp_self = jnp.sum(vc4 * dout_c4, axis=1)       # [H, 1]
+            ds_self = p_self * (dp_self - delta4[:, :, 0])
+            dqc_scr[...] += ds_self[..., None] * kc4
+            dck_scr[...] += ds_self[..., None] * qc4
+
+        # ---- projection grads (all d-major, lane-contraction) ---------------
+        for t in range(T):
+            attn_t = attnT_ref[0, t] if use_saved_attn else attn_ts[t]
+            dwproj_ref[...] += jax.lax.dot_general(
+                attn_t, gT[t], LANE_NN, preferred_element_type=f32)
+            dbprojT_ref[...] += jnp.sum(gT[t].astype(f32), axis=1,
+                                        keepdims=True)
+
+        # ---- qkv weight/bias/input grads, per frame d-major ----------------
+        dq4 = jnp.stack(dq_ts, axis=1) * scale             # [H, T, d, Nc] f32
+        dbq_hd_ref[...] += jnp.sum(dq4, axis=(1, 3))
+        dbk_hd_ref[...] += jnp.sum(dk4, axis=(1, 3))
+        dbv_hd_ref[...] += jnp.sum(dv4, axis=(1, 3))
+
+        # [H,T,d,Nc] -> [T,D,Nc] (leading transpose + sublane merge)
+        def to_tdn(a4):
+            return jnp.transpose(a4, (1, 0, 2, 3)).reshape(T, D, Nc)
+
+        dqT = to_tdn(dq4)
+        dkT = to_tdn(dk4)
+        dvT = to_tdn(dv4)
+
+        for t in range(T):
+            dqkvT_t = jnp.concatenate([dqT[t], dkT[t], dvT[t]],
+                                      axis=0).astype(dtype)       # [3D, Nc]
+            dwqkvT_ref[...] += jax.lax.dot_general(
+                dqkvT_t, x_lnTs[t], LANE_NN, preferred_element_type=f32)
+            dxlnT_t = jnp.dot(wqkv_ref[:], dqkvT_t,
+                              preferred_element_type=f32)         # [D, Nc]
+            dlsT_ref[...] += jnp.sum(dxlnT_t * xhatTs[t], axis=1,
+                                     keepdims=True)
+            dlbT_ref[...] += jnp.sum(dxlnT_t, axis=1, keepdims=True)
+            dxhatT = dxlnT_t * ln_sT
+            m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
+            m2 = jnp.mean(dxhatT * xhatTs[t], axis=0, keepdims=True)
+            # residual folded in the forward: dx = g + LN path
+            dx_ref[0, t] = (gT[t].astype(f32)
+                            + (dxhatT - m1 - xhatTs[t] * m2) * rstdTs[t]) \
+                .astype(dx_ref.dtype)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqcT = dqc_scr[...].reshape(D, 1) * scale      # fp32
+            dkcT = dck_scr[...].reshape(D, 1)
+            dvcT = dcv_scr[...].reshape(D, 1)
+            dqkv_cT = jnp.concatenate([dqcT, dkcT, dvcT], axis=0).astype(dtype)
+            dwqkvT_ref[...] += jnp.dot(dqkv_cT, cls_lnT.T,
+                                       preferred_element_type=f32)
+            dbq_hd_ref[...] += dqc_scr[..., 0] * scale
+            dbk_hd_ref[...] += dck_scr[..., 0]
+            dbv_hd_ref[...] += dcv_scr[..., 0]
+            dwproj_ref[...] += jnp.dot(aclsT_ref[0].astype(dtype), gcls,
+                                       preferred_element_type=f32)
+            dbprojT_ref[...] += gcls.astype(f32).T
+            dxln_cT = jnp.dot(wqkv_ref[:], dqkv_cT,
+                              preferred_element_type=f32)         # [D, 1]
+            dlsT_ref[...] += dxln_cT * xhat_cT
+            dlbT_ref[...] += dxln_cT
+            dxhat_c = dxln_cT * ln_sT
+            m1c = jnp.mean(dxhat_c, axis=0, keepdims=True)
+            m2c = jnp.mean(dxhat_c * xhat_cT, axis=0, keepdims=True)
+            dxcT = (dxhat_c - m1c - xhat_cT * m2c) * rstd_cT
+            dxcls_ref[0] = (gcls.astype(f32) + dxcT.T).astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_time_attention_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
+                                      wqkv, bqkv, wproj, lse, aclsT,
+                                      acts_saved, num_heads: int,
+                                      chunk: int | None = None,
+                                      interpret: bool = False):
+    """Backward matching fused_time_attention_block_v7 (d-major tower I/O)."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    if chunk is None or N % chunk != 0:
+        chunk = N
+    b3 = bqkv.reshape(3, D)
+
+    chunkT_spec = pl.BlockSpec((1, T, D, chunk), lambda b, c: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    clsT_spec = pl.BlockSpec((1, D, 1), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    hd_spec = pl.BlockSpec((H, d), lambda b, c: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, c: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, c: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_time_bwd_kernel_v7(H, T, N, len(acts_saved) == 4),
+        grid=(B, N // chunk),
+        in_specs=[chunkT_spec, cls_spec, chunkT_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkv_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wproj_spec, lse_spec, clsT_spec]
+        + [chunkT_spec] * len(acts_saved),
+        out_specs=(chunkT_spec, cls_spec, wqkvT_spec, hd_spec, hd_spec,
+                   hd_spec, wproj_spec, vecT_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((H, d), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv, wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj, lse, aclsT, *acts_saved)
+    (dxT, dxcls, dwqkvT, dbq_hd, dbk_hd, dbv_hd, dwproj, dbprojT, dlsT,
+     dlbT) = outs
+    dbqkv = jnp.concatenate([dbq_hd.reshape(D), dbk_hd.reshape(D),
+                             dbv_hd.reshape(D)])
+    return (dxT, dxcls, dlsT[:, 0], dlbT[:, 0], dwqkvT.T, dbqkv, dwproj,
+            dbprojT[:, 0])
+
+
+def make_time_subpath_v7(num_heads: int, chunk: int | None = None,
+                         save_attn: bool = False,
+                         interpret: bool = False):
+    """Differentiable d-major time sub-path for the v7 train tower.
+    f(xT, cls, ln_s, ln_b, wqkv, bqkv, wproj, bproj) -> (oT, ocls);
+    residual folded (o = x + proj)."""
+    from tvts_tpu.ops.pallas_block_attention import fused_time_attention_block_v7
+
+    H = num_heads
+
+    @jax.custom_vjp
+    def f(xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_time_attention_block_v7(
+            xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_heads=H, chunk=chunk, interpret=interpret)
+
+    def fwd(xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        outs = fused_time_attention_block_v7(
+            xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_heads=H, chunk=chunk, save_stats=True, save_acts=True,
+            save_attn=save_attn, interpret=interpret)
+        oT, ocls, lse, aclsT = outs[:4]
+        return (oT, ocls), (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            lse, aclsT, tuple(outs[4:]))
+
+    def bwd(res, g):
+        goT, gocls = g
+        (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+         acts) = res
+        dxT, dxcls, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_time_attention_block_v7_bwd(
+                goT, gocls, xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                lse, aclsT, acts, num_heads=H, chunk=chunk,
+                interpret=interpret)
+        return (dxT, dxcls, dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _make_mlp_bwd_kernel_v7(act: str):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wfc_ref, wpr_ref, h_ref, hcls_ref,
+               dx_ref, dxcls_ref, dwfcT_ref, dbfcT_ref, dwprT_ref,
+               dbprT_ref, dlsT_ref, dlbT_ref):
+        """Grid (B, T), t minor. g/x/dx are d-major [1,1,D,N]; cls rows stay
+        row-major. Consumes the PRE-activation hiddens saved by the forward
+        (h [1,1,4D,N], hcls [1,4D,1]) so the fc matmul is never recomputed —
+        the strategy that made XLA's MLP backward 2.2x the recomputing Pallas
+        pair (PERF.md round-2 MLP decision). Residual folded: dx = g + LN
+        path. Weight grads accumulate in transposed orientation via
+        lane-contraction dot_generals (no activation transposes)."""
+        D = x_ref.shape[2]
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        t = pl.program_id(1)
+        first = (pl.program_id(0) == 0) & (t == 0)
+        LANE_NN = (((1,), (1,)), ((), ()))                 # A @ B^T over lanes
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwfcT_ref, dbfcT_ref, dwprT_ref, dbprT_ref,
+                        dlsT_ref, dlbT_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        ln_sT = ln_sT_ref[:].astype(f32)
+        ln_bT = ln_bT_ref[:].astype(f32)
+
+        def lnT_fwd(tT):
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (tf - mu) * rstd
+            return xhat * ln_sT + ln_bT, xhat, rstd
+
+        def act_and_grad(h):                               # f32 [4D, n]
+            if act == "quick_gelu":
+                s = jax.nn.sigmoid(1.702 * h)
+                return h * s, s * (1.0 + 1.702 * h * (1.0 - s))
+            erf_v = _erf(h * (2.0 ** -0.5))
+            a = 0.5 * h * (1.0 + erf_v)
+            phi = jnp.exp(-0.5 * h * h) * (0.3989422804014327)
+            return a, 0.5 * (1.0 + erf_v) + h * phi
+
+        def bwd_one(gT, tT, h_b, dx_sink_is_cls):
+            """gT/tT: [D, n]; h_b: [4D, n] saved pre-activation (dtype)."""
+            x_lnT_f, xhatT, rstdT = lnT_fwd(tT)
+            y_b = x_lnT_f.astype(dtype)
+            h = h_b.astype(f32)
+            a, dgelu = act_and_grad(h)
+            gf = gT.astype(f32)
+            # dwprT [D, 4D] += g @ act(h)^T (lane-contraction)
+            dwprT_ref[...] += jax.lax.dot_general(
+                gT, a.astype(dtype), LANE_NN, preferred_element_type=f32)
+            dbprT_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
+            # dh = (wpr @ g) * act'(h)   (wpr row-major [4D, D])
+            dh = jnp.dot(wpr_ref[:], gT, preferred_element_type=f32) * dgelu
+            dh_b = dh.astype(dtype)
+            dbfcT_ref[...] += jnp.sum(dh, axis=1, keepdims=True)
+            # dwfcT [4D, D] += dh @ ln(x)^T (lane-contraction)
+            dwfcT_ref[...] += jax.lax.dot_general(
+                dh_b, y_b, LANE_NN, preferred_element_type=f32)
+            # dxln = wfc @ dh   (wfc row-major [D, 4D])
+            dxlnT = jnp.dot(wfc_ref[:], dh_b, preferred_element_type=f32)
+            dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+            dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+            dxhatT = dxlnT * ln_sT
+            m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
+            m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+            return gf + (dxhatT - m1 - xhatT * m2) * rstdT
+
+        dx_ref[0, 0] = bwd_one(g_ref[0, 0], x_ref[0, 0], h_ref[0, 0],
+                               False).astype(dx_ref.dtype)
+
+        @pl.when(t == 0)
+        def _cls():
+            dxcT = bwd_one(gcls_ref[0].T, cls_ref[0].T, hcls_ref[0], True)
+            dxcls_ref[0] = dxcT.T.astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_mlp_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias, wfc, wpr,
+                           h, hcls, act: str = "quick_gelu",
+                           interpret: bool = False):
+    """Backward matching fused_mlp_block_v7 (d-major tower I/O); h/hcls are
+    the saved pre-activation hiddens."""
+    B, T, D, N = xT.shape
+    hidden = wfc.shape[1]
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    hT_spec = pl.BlockSpec((1, 1, hidden, N), lambda b, t: (b, t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    hclsT_spec = pl.BlockSpec((1, hidden, 1), lambda b, t: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    hvecT_spec = pl.BlockSpec((hidden, 1), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wfc_spec = pl.BlockSpec((D, hidden), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wpr_spec = pl.BlockSpec((hidden, D), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    dwfcT_spec = pl.BlockSpec((hidden, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    dwprT_spec = pl.BlockSpec((D, hidden), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_mlp_bwd_kernel_v7(act),
+        grid=(B, T),
+        in_specs=[frameT_spec, cls_spec, frameT_spec, cls_spec, vecT_spec,
+                  vecT_spec, wfc_spec, wpr_spec, hT_spec, hclsT_spec],
+        out_specs=(frameT_spec, cls_spec, dwfcT_spec, hvecT_spec, dwprT_spec,
+                   vecT_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype),
+                   jax.ShapeDtypeStruct((hidden, D), jnp.float32),
+                   jax.ShapeDtypeStruct((hidden, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wfc, wpr, h, hcls)
+    (dxT, dxcls, dwfcT, dbfcT, dwprT, dbprT, dlsT, dlbT) = outs
+    return (dxT, dxcls, dlsT[:, 0], dlbT[:, 0], dwfcT.T, dbfcT[:, 0],
+            dwprT.T, dbprT[:, 0])
+
+
+def make_mlp_subpath_v7(act: str = "quick_gelu", interpret: bool = False):
+    """Differentiable d-major MLP sub-path for the v7 train tower.
+    f(xT, cls, ln_s, ln_b, wfc, bfc, wpr, bpr) -> (oT, ocls); the forward
+    saves the pre-activation hiddens, the backward reuses them."""
+    from tvts_tpu.ops.pallas_block_attention import fused_mlp_block_v7
+
+    @jax.custom_vjp
+    def f(xT, cls, ln_scale, ln_bias, wfc, bfc, wpr, bpr):
+        return fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wpr,
+                                  bpr, act=act, interpret=interpret)
+
+    def fwd(xT, cls, ln_scale, ln_bias, wfc, bfc, wpr, bpr):
+        oT, ocls, h, hcls = fused_mlp_block_v7(
+            xT, cls, ln_scale, ln_bias, wfc, bfc, wpr, bpr, act=act,
+            save_h=True, interpret=interpret)
+        return (oT, ocls), (xT, cls, ln_scale, ln_bias, wfc, wpr, h, hcls)
+
+    def bwd(res, g):
+        goT, gocls = g
+        xT, cls, ln_scale, ln_bias, wfc, wpr, h, hcls = res
+        dxT, dxcls, dls, dlb, dwfc, dbfc, dwpr, dbpr = fused_mlp_block_v7_bwd(
+            goT, gocls, xT, cls, ln_scale, ln_bias, wfc, wpr, h, hcls,
+            act=act, interpret=interpret)
+        return (dxT, dxcls, dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwfc.astype(wfc.dtype),
+                dbfc.astype(wfc.dtype), dwpr.astype(wpr.dtype),
+                dbpr.astype(wpr.dtype))
 
     f.defvjp(fwd, bwd)
     return f
