@@ -191,15 +191,27 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
         return _pool(params, cfg, x, dtype, need_tokens)
     if kernel_version == 6:
         # whole-block megakernel: time+space+MLP in ONE Pallas call per
-        # block, exact CLS rows, one HBM round-trip per block
+        # block, exact CLS rows, one HBM round-trip per block. scan_blocks
+        # compiles the kernel ONCE (the unrolled v6 graph's MLIR previously
+        # SIGKILLed the remote compile helper — PERF.md round 3)
         from tvts_tpu.ops.pallas_block_attention import fused_block_v6
 
-        for i in range(cfg.layers):
-            x = fused_block_v6(
-                x, params[f"blocks_{i}"], num_frames=T,
+        def v6_block(x, bp):
+            return fused_block_v6(
+                x, bp, num_frames=T,
                 patches_per_frame=n_keep, num_heads=cfg.heads, act=cfg.act,
                 mlp_chunk=mlp_chunk if mlp_chunk != 256 else 512,
                 dtype=dtype, interpret=interpret)
+
+        if scan_blocks:
+            stacked = jax.tree.map(
+                lambda *ls: jnp.stack(ls),
+                *[params[f"blocks_{i}"] for i in range(cfg.layers)])
+            x, _ = jax.lax.scan(lambda x, bp: (v6_block(x, bp), None),
+                                x, stacked)
+        else:
+            for i in range(cfg.layers):
+                x = v6_block(x, params[f"blocks_{i}"])
         return _pool(params, cfg, x, dtype, need_tokens)
     if kernel_version in (2, 4):
         # v2: self-contained sub-path kernels (in-kernel CLS row + residual);
