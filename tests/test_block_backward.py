@@ -61,14 +61,17 @@ def test_space_subpath_grads(shape, save_acts, bwd_mode):
 
 
 @pytest.mark.parametrize("shape", [(2, 3, 5, 32)])
-def test_space_subpath_v3_grads(shape):
-    """d-major head-batched variant (the training default)."""
+@pytest.mark.parametrize("save_probs", [False, True])
+def test_space_subpath_v3_grads(shape, save_probs):
+    """d-major head-batched variant (the training default); save_probs
+    consumes the forward-saved softmax state in the backward."""
     from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v3
 
     B, T, N, D = shape
     H = 4
     args = _attn_args(3, B, T, N, D)
-    f = make_space_subpath_v3(T, N, H, interpret=True)
+    f = make_space_subpath_v3(T, N, H, save_probs=save_probs,
+                              interpret=True)
     ref = _space_ref(T, N, H)
 
     np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),

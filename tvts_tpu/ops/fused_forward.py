@@ -365,9 +365,11 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                                           dtype=dtype, time_chunk=time_chunk,
                                           scan_blocks=scan_blocks,
                                           interpret=interpret)
-    if space_mode not in ("pallas", "pallas_v2", "pallas_v5", "xla"):
+    if space_mode not in ("pallas", "pallas_ps", "pallas_v2", "pallas_v5",
+                          "xla"):
         raise ValueError(f"space_mode {space_mode!r} not in "
-                         "('pallas', 'pallas_v2', 'pallas_v5', 'xla')")
+                         "('pallas', 'pallas_ps', 'pallas_v2', 'pallas_v5',"
+                         " 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
     if time_mode not in ("pallas", "pallas_v3", "xla"):
@@ -397,17 +399,21 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                    chunk=time_chunk, save_acts=save_acts,
                                    interpret=interpret)
-    if not save_acts and space_mode == "pallas":
+    if not save_acts and space_mode in ("pallas", "pallas_ps"):
         # flash-style recompute (H/14 single-chip memory mode): the v3
         # kernels require saved acts, so the space sub-path drops to v2
         space_mode = "pallas_v2"
-    if space_mode == "pallas":
+    if space_mode in ("pallas", "pallas_ps"):
         # v3 d-major head-batched kernels: space sub-path fwd+bwd measured
         # 145.1 vs 167.2 ms/12 blocks for the per-head v2 pair at B=32
-        # pretrain shapes (tools/bwd_split_probe.py table in PERF.md)
+        # pretrain shapes (tools/bwd_split_probe.py table in PERF.md).
+        # pallas_ps additionally saves the forward softmax state so the
+        # backward skips the logits + softmax recompute (~55 MB/block of
+        # probs saves at B=20 pretrain shapes)
         from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v3
 
         space_f = make_space_subpath_v3(num_frames, n_keep, cfg.heads,
+                                        save_probs=space_mode == "pallas_ps",
                                         interpret=interpret)
     elif space_mode == "pallas_v5":
         # frame-batched row-major kernels (batched per-head dot_generals,

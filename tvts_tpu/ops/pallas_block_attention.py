@@ -849,7 +849,7 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
       bproj.reshape(1, D))
     out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
     if save_stats and save_acts:
-        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+        return (out,) + tuple(outs[2:])
     if save_stats:
         return out, outs[2], outs[3]
     return out
@@ -1030,13 +1030,20 @@ def make_mlp_subpath(act: str = "quick_gelu", chunk: int = 256,
 
 
 def _make_space_block_kernel_v3(H: int, save_stats: bool = False,
-                                save_acts: bool = False):
+                                save_acts: bool = False,
+                                save_probs: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
                o_ref, ocls_ref, *rest):
         """Grid (B, T), t minor. Same contract as the v2 kernel, but the
-        saved activations are TRANSPOSED ([B,T,D,N] / [B,D,1])."""
-        if save_stats and save_acts:
+        saved activations are TRANSPOSED ([B,T,D,N] / [B,D,1]). With
+        save_probs the per-frame softmax state (p [B,T,H,N,N] bf16 raw
+        numerators + p_cls + denom) is saved so the backward skips the
+        logits matmul + softmax recompute entirely."""
+        if save_stats and save_acts and save_probs:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
+             p_ref, pcls_ref, den_ref, m_scr, l_scr, acc_scr) = rest
+        elif save_stats and save_acts:
             (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref, attnT_ref,
              m_scr, l_scr, acc_scr) = rest
         elif save_stats:
@@ -1103,6 +1110,10 @@ def _make_space_block_kernel_v3(H: int, save_stats: bool = False,
         p = jnp.exp(logits - m[..., None])
         p_cls = jnp.exp(cls_l - m)                         # [H, Nq]
         denom = jnp.sum(p, axis=-1) + p_cls
+        if save_probs:
+            p_ref[0, 0] = p.astype(dtype)
+            pcls_ref[0, 0] = p_cls
+            den_ref[0, 0] = denom
         oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
                                   preferred_element_type=f32)  # [H, d, Nq]
         oT3 = (oT3 + vc3 * p_cls[:, None, :]) / denom[:, None, :]
@@ -1146,6 +1157,7 @@ def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                    patches_per_frame: int, num_heads: int,
                                    save_stats: bool = False,
                                    save_acts: bool = False,
+                                   save_probs: bool = False,
                                    interpret: bool = False):
     """d-major head-batched variant of fused_space_attention_block_v2 — same
     math and output contract; saved activations come back TRANSPOSED
@@ -1187,8 +1199,24 @@ def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
         if save_acts:
             out_specs += [frameT_spec] * 4
             out_shape += [jax.ShapeDtypeStruct((B, T, D, N), x.dtype)] * 4
+            if save_probs:
+                out_specs += [
+                    pl.BlockSpec((1, 1, num_heads, N, N),
+                                 lambda b, t: (b, t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, num_heads, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, num_heads, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                out_shape += [
+                    jax.ShapeDtypeStruct((B, T, num_heads, N, N), x.dtype),
+                    jax.ShapeDtypeStruct((B, T, num_heads, N), jnp.float32),
+                    jax.ShapeDtypeStruct((B, T, num_heads, N), jnp.float32)]
     outs = pl.pallas_call(
-        _make_space_block_kernel_v3(num_heads, save_stats, save_acts),
+        _make_space_block_kernel_v3(num_heads, save_stats, save_acts,
+                                    save_probs),
         grid=(B, T),
         in_specs=[frame_spec, frame_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
@@ -1206,7 +1234,7 @@ def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
       b3[2].reshape(D, 1), wproj.T, bproj.reshape(D, 1))
     out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
     if save_stats and save_acts:
-        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+        return (out,) + tuple(outs[2:])
     if save_stats:
         return out, outs[2], outs[3]
     return out
@@ -1616,7 +1644,7 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
       bproj.reshape(1, D))
     out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
     if save_stats and save_acts:
-        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+        return (out,) + tuple(outs[2:])
     if save_stats:
         return out, outs[2], outs[3]
     return out

@@ -844,14 +844,19 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True):
+def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True,
+                              use_probs: bool = False):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, wqkv_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
                lse_ref, aclsT_ref, *rest):
-        """Grid (B, T), t minor."""
+        """Grid (B, T), t minor. use_probs: consume the forward-saved
+        softmax state instead of recomputing logits + softmax."""
         if use_saved:
             qT_ref, kT_ref, vT_ref, attnT_ref = rest[:4]
             rest = rest[4:]
+        if use_probs:
+            p_ref, pcls_ref, den_ref = rest[:3]
+            rest = rest[3:]
         (dx_ref, dxcls_ref, dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref,
          dwproj_ref, dbproj_ref, dlsT_ref, dlbT_ref,
          dqc_scr, dck_scr, dcv_scr) = rest
@@ -933,17 +938,24 @@ def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True):
         acls3 = aclsT_ref[0].reshape(H, d, 1)              # fp32
         lse3 = lse_ref[0].T                                # [H, 1]
 
-        # recompute probs (head-batched)
-        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
-                                     preferred_element_type=f32)  # [H,Nq,Nk]
-        cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)      # [H, Nq]
-        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
-        p = jnp.exp(logits - m[..., None])
-        p_cls = jnp.exp(cls_l - m)
-        denom = jnp.sum(p, axis=-1) + p_cls
-        pn = p / denom[..., None]                          # [H, Nq, Nk] f32
-        pn_cls = p_cls / denom                             # [H, Nq]
-        pn_b = pn.astype(dtype)
+        if use_probs:
+            # forward-saved softmax state: no logits matmul, no exp chain
+            recip = 1.0 / den_ref[0, 0]                    # [H, Nq]
+            pn = p_ref[0, 0].astype(f32) * recip[..., None]
+            pn_cls = pcls_ref[0, 0] * recip                # [H, Nq]
+            pn_b = pn.astype(dtype)
+        else:
+            # recompute probs (head-batched)
+            logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                         preferred_element_type=f32)
+            cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)  # [H, Nq]
+            m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+            p = jnp.exp(logits - m[..., None])
+            p_cls = jnp.exp(cls_l - m)
+            denom = jnp.sum(p, axis=-1) + p_cls
+            pn = p / denom[..., None]                      # [H, Nq, Nk] f32
+            pn_cls = p_cls / denom                         # [H, Nq]
+            pn_b = pn.astype(dtype)
 
         if use_saved:
             attn_T = attnT_ref[0, 0]
@@ -1049,10 +1061,11 @@ def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True):
 def fused_space_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                        wproj, lse, attn_clsT, num_frames: int,
                                        patches_per_frame: int, num_heads: int,
-                                       acts_saved=None,
+                                       acts_saved=None, probs_saved=None,
                                        interpret: bool = False):
     """Backward matching fused_space_attention_block_v3 (acts_saved holds the
-    TRANSPOSED qT/kT/vT/attnT [B,T,D,N]; attn_clsT is [B,D,1])."""
+    TRANSPOSED qT/kT/vT/attnT [B,T,D,N]; attn_clsT is [B,D,1]; probs_saved
+    optionally holds the forward's (p, p_cls, denom))."""
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     d = D // num_heads
@@ -1085,9 +1098,20 @@ def fused_space_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
     extra_in_specs = [frameT_spec] * 4 if acts_saved is not None else []
     extra_ins = tuple(acts_saved) if acts_saved is not None else ()
+    if probs_saved is not None:
+        H = num_heads
+        extra_in_specs += [
+            pl.BlockSpec((1, 1, H, N, N), lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        extra_ins += tuple(probs_saved)
     outs = pl.pallas_call(
         _make_space_bwd_kernel_v3(num_heads,
-                                  use_saved=acts_saved is not None),
+                                  use_saved=acts_saved is not None,
+                                  use_probs=probs_saved is not None),
         grid=(B, T),
         in_specs=[frame_spec, cls_spec, frame_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
@@ -1120,9 +1144,12 @@ def fused_space_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
 
 def make_space_subpath_v3(num_frames: int, patches_per_frame: int,
-                          num_heads: int, interpret: bool = False):
+                          num_heads: int, save_probs: bool = False,
+                          interpret: bool = False):
     """d-major head-batched differentiable space sub-path (v3 fwd + bwd).
-    Same contract as make_space_subpath."""
+    Same contract as make_space_subpath. save_probs additionally saves the
+    forward softmax state ([B,T,H,N,N] bf16 + two [B,T,H,N]) so the backward
+    skips the logits matmul + softmax recompute."""
     from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v3
 
     T, N, H = num_frames, patches_per_frame, num_heads
@@ -1135,20 +1162,23 @@ def make_space_subpath_v3(num_frames: int, patches_per_frame: int,
             interpret=interpret)
 
     def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
-        out, lse, aclsT, qT, kT, vT, attnT = fused_space_attention_block_v3(
+        outs = fused_space_attention_block_v3(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, save_stats=True,
-            save_acts=True, interpret=interpret)
+            save_acts=True, save_probs=save_probs, interpret=interpret)
+        out, lse, aclsT = outs[0], outs[1], outs[2]
         return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
-                     (qT, kT, vT, attnT))
+                     tuple(outs[3:7]),
+                     tuple(outs[7:]) if save_probs else None)
 
     def bwd(res, g):
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT, acts = res
+        (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT, acts,
+         probs) = res
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
             fused_space_attention_block_v3_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
                 num_frames=T, patches_per_frame=N, num_heads=H,
-                acts_saved=acts, interpret=interpret)
+                acts_saved=acts, probs_saved=probs, interpret=interpret)
         return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
