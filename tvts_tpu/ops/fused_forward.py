@@ -382,7 +382,10 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         # XLA's time sub-path is layout-slow at B/16 but its probs tensors
         # are tiny (T=12 keys/query), so it composes with the fused space
         # sub-path without the remat-copy regression the SPACE-XLA hybrid hit
+        @jax.checkpoint
         def time_f(x, ln_s, ln_b, wq, bq, wp, bp):
+            # rematerialized: without it the XLA sub-path's saved
+            # intermediates put H/14 B=4 ~1.5 GB over HBM
             p = {"qkv": {"kernel": wq, "bias": bq},
                  "proj": {"kernel": wp, "bias": bp}}
             ln = {"scale": ln_s, "bias": ln_b}
