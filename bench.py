@@ -66,7 +66,9 @@ def main():
         kv = int(os.environ.get("TVTS_TPU_BENCH_KV", "7"))
         tchunk = int(os.environ.get("TVTS_TPU_BENCH_TCHUNK", "128"))
         sv = int(os.environ.get("TVTS_TPU_BENCH_SV", "2"))
-        sfpp = int(os.environ.get("TVTS_TPU_BENCH_SFPP", "0")) or None
+        # v9 frame-batched space kernel (fpp frames per program, [fpp*H]
+        # batched attention dot_generals): 158.4 -> 169.7 clips/s at fpp=3
+        sfpp = int(os.environ.get("TVTS_TPU_BENCH_SFPP", "3")) or None
         mchunk = int(os.environ.get("TVTS_TPU_BENCH_MCHUNK", "256"))
         # extraction consumes the pooled CLS embedding only; =1 restores the
         # full-token ln_post projection (pre-round-3 semantics)

@@ -77,6 +77,30 @@ def test_fused_forward_v7_dmajor_matches_apply(pool, act, version):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("fpp", [2, 4])
+def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
+    """kernel_version=7 with space_fpp (v9: fpp frames per space program,
+    [fpp*H]-batched attention dot_generals) must match the fpp=1 tower."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    rng = np.random.default_rng(4)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_p, want_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        interpret=True)
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        space_fpp=fpp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-6, rtol=1e-6)
+
+
 @pytest.mark.parametrize("version", [7, 8])
 def test_fused_forward_v7_scan_blocks_matches_unrolled(version):
     """scan_blocks=True (lax.scan over stacked per-block weights — one kernel

@@ -131,6 +131,19 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                         trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
                         ln2s, ln2b, wfc, bfc, wpr, bpr,
                         num_heads=cfg.heads, act=cfg.act, interpret=interpret)
+                elif space_fpp and space_fpp > 1:
+                    from tvts_tpu.ops.pallas_block_attention import (
+                        fused_space_attention_block_v9,
+                    )
+
+                    srT, src = fused_space_attention_block_v9(
+                        trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
+                        num_heads=cfg.heads, fpp=space_fpp,
+                        interpret=interpret)
+                    xT, cls = fused_mlp_block_v7(
+                        srT, src, ln2s, ln2b, wfc, bfc, wpr, bpr,
+                        act=cfg.act, interpret=interpret)
+                    return (xT, cls), None
                 else:
                     srT, src = fused_space_attention_block_v7(
                         trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
@@ -170,14 +183,28 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                     bp["mlp"]["c_proj"]["bias"].astype(dtype),
                     num_heads=cfg.heads, act=cfg.act, interpret=interpret)
                 continue
-            srT, src = fused_space_attention_block_v7(
-                trT, xT, trc, cls,
-                bp["ln_1"]["scale"], bp["ln_1"]["bias"],
-                bp["attn"]["qkv"]["kernel"].astype(dtype),
-                bp["attn"]["qkv"]["bias"].astype(dtype),
-                bp["attn"]["proj"]["kernel"].astype(dtype),
-                bp["attn"]["proj"]["bias"].astype(dtype),
-                num_heads=cfg.heads, interpret=interpret)
+            if space_fpp and space_fpp > 1:
+                from tvts_tpu.ops.pallas_block_attention import (
+                    fused_space_attention_block_v9,
+                )
+
+                srT, src = fused_space_attention_block_v9(
+                    trT, xT, trc, cls,
+                    bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                    bp["attn"]["qkv"]["kernel"].astype(dtype),
+                    bp["attn"]["qkv"]["bias"].astype(dtype),
+                    bp["attn"]["proj"]["kernel"].astype(dtype),
+                    bp["attn"]["proj"]["bias"].astype(dtype),
+                    num_heads=cfg.heads, fpp=space_fpp, interpret=interpret)
+            else:
+                srT, src = fused_space_attention_block_v7(
+                    trT, xT, trc, cls,
+                    bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                    bp["attn"]["qkv"]["kernel"].astype(dtype),
+                    bp["attn"]["qkv"]["bias"].astype(dtype),
+                    bp["attn"]["proj"]["kernel"].astype(dtype),
+                    bp["attn"]["proj"]["bias"].astype(dtype),
+                    num_heads=cfg.heads, interpret=interpret)
             xT, cls = fused_mlp_block_v7(
                 srT, src,
                 bp["ln_2"]["scale"], bp["ln_2"]["bias"],

@@ -2555,3 +2555,154 @@ def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
       bp["mlp"]["c_proj"]["kernel"].astype(dtype),
       bp["mlp"]["c_proj"]["bias"].astype(dtype).reshape(1, D))
     return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
+
+
+def _make_space_block_kernel_v9(H: int, FPP: int):
+    def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+        """v7 space kernel with FPP frames per program: the per-head
+        attention dot_generals batch over [FPP*H] (frame, head) pairs —
+        more batch elements per MXU instruction at the same lane width
+        (the mxu_lane_probe showed d=64 batched rates rise with batch
+        count). Grid (B, T // FPP), t minor; blocks [1, FPP, D, N]."""
+        D = x_ref.shape[2]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = o_ref.dtype
+        f32 = jnp.float32
+
+        bqT = bqT_ref[:].astype(f32)                       # [D, 1]
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        bprojT = bprojT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+
+        clsT = cls_ref[0].T                                # [D, 1]
+        cls_lnT = lnT(clsT).astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vc3                             # [H, d, 1]
+
+        # per-frame qkv projections; head tiles collected as [FPP, H, d, N]
+        qs, ks, vs = [], [], []
+        for f in range(FPP):
+            x_lnT = lnT(x_ref[0, f]).astype(dtype)         # [D, N]
+            qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
+                           preferred_element_type=f32)     # [3D, N]
+            qs.append(((qkvT[:D] + bqT) * scale).astype(dtype))
+            ks.append((qkvT[D:2 * D] + bkT).astype(dtype))
+            vs.append((qkvT[2 * D:] + bvT).astype(dtype))
+
+        def heads(ts):                                     # FPP x [D, N]
+            return jnp.stack(ts).reshape(FPP * H, d, -1)
+
+        q3 = heads(qs)                                     # [FPP*H, d, N]
+        k3 = heads(ks)
+        v3 = heads(vs)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))          # over head dim d
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))         # over key lanes
+
+        kcB = jnp.concatenate([kc3] * FPP, axis=0)         # [FPP*H, d, 1]
+        vcB = jnp.concatenate([vc3] * FPP, axis=0)
+
+        logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                     preferred_element_type=f32)
+        cls_l = jnp.sum(q3.astype(f32) * kcB, axis=1)      # [FPP*H, Nq]
+        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+        p = jnp.exp(logits - m[..., None])
+        p_cls = jnp.exp(cls_l - m)
+        denom = jnp.sum(p, axis=-1) + p_cls
+        oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
+                                  preferred_element_type=f32)
+        oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom[:, None, :]
+        attn_all = oT3.astype(dtype).reshape(FPP, D, -1)   # leading split
+
+        for f in range(FPP):
+            projT = jnp.dot(wprojT_ref[:], attn_all[f],
+                            preferred_element_type=f32) + bprojT
+            o_ref[0, f] = (base_ref[0, f].astype(f32) + projT).astype(dtype)
+
+        # CLS row: online accumulation over this program's FPP frames
+        qcB = jnp.concatenate([qc3] * FPP, axis=0)         # [FPP*H, d, 1]
+        lcB = jnp.sum(k3.astype(f32) * qcB, axis=1)        # [FPP*H, Nk]
+        c_max = jnp.max(lcB, axis=1, keepdims=True)        # [FPP*H, 1]
+        m_old = m_scr[...]
+        # fold FPP frames sequentially into the [H, 1] online state
+        for f in range(FPP):
+            lc = lcB[f * H:(f + 1) * H]                    # [H, Nk]
+            cm = c_max[f * H:(f + 1) * H]
+            m_new = jnp.maximum(m_old, cm)
+            corr = jnp.exp(m_old - m_new)
+            p_c = jnp.exp(lc - m_new)
+            l_new = (l_scr[...] if f == 0 else l_acc) * corr \
+                + jnp.sum(p_c, axis=1, keepdims=True)
+            pv = jnp.sum(v3[f * H:(f + 1) * H].astype(f32)
+                         * p_c[:, None, :], axis=2, keepdims=True)
+            a_new = (acc_scr[...] if f == 0 else a_acc) * corr[..., None] + pv
+            m_old, l_acc, a_acc = m_new, l_new, a_new
+        m_scr[...] = m_old
+        l_scr[...] = l_acc
+        acc_scr[...] = a_acc
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) + bprojT  # [D, 1]
+            ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
+                                   wqkv, bqkv, wproj, bproj, num_heads: int,
+                                   fpp: int = 2, interpret: bool = False):
+    """v7 space sub-path with fpp frames per program (batched [fpp*H]
+    attention dot_generals). Same I/O contract as
+    fused_space_attention_block_v7; fpp must divide T."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    assert T % fpp == 0, (T, fpp)
+
+    groupT_spec = pl.BlockSpec((1, fpp, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    oT, ocls = pl.pallas_call(
+        _make_space_block_kernel_v9(H, fpp),
+        grid=(B, T // fpp),
+        in_specs=[groupT_spec, groupT_spec, cls_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
+                  wprojT_spec, vecT_spec],
+        out_specs=(groupT_spec, cls_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1))
+    return oT, ocls
