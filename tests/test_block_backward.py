@@ -410,3 +410,58 @@ def test_fused_train_step_dmajor_matches_xla():
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("fpp,save_probs", [(2, True), (2, False), (3, True)])
+def test_space_subpath_v9_grads(fpp, save_probs):
+    """FPP-frame-batched d-major space sub-path (v9 train) vs the XLA
+    reference; save_probs consumes the forward-saved softmax state."""
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v9
+
+    B, T, N, D = 2, 6, 5, 32
+    H = 4
+    args = _attn_args(13, B, T, N, D)
+    f9 = make_space_subpath_v9(H, fpp=fpp, save_probs=save_probs,
+                               interpret=True)
+    ref = _space_ref(T, N, H)
+
+    def f(x, base, *w):
+        xT = jnp.swapaxes(x[:, 1:].reshape(B, T, N, D), -1, -2)
+        baseT = jnp.swapaxes(base[:, 1:].reshape(B, T, N, D), -1, -2)
+        oT, ocls = f9(xT, baseT, x[:, :1], base[:, :1], *w)
+        return jnp.concatenate(
+            [ocls, jnp.swapaxes(oT, -1, -2).reshape(B, T * N, D)], axis=1)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("fpp,save_probs", [(3, True), (2, False)])
+def test_space_subpath_v10_grads(fpp, save_probs):
+    """Row-I/O FPP-frame-batched space sub-path (v10 train: v9 kernels with
+    in-kernel per-frame transposes) vs the XLA reference."""
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
+
+    B, T, N, D = 2, 6, 5, 32
+    H = 4
+    args = _attn_args(17, B, T, N, D)
+    f = make_space_subpath_v10(T, N, H, fpp=fpp, save_probs=save_probs,
+                               interpret=True)
+    ref = _space_ref(T, N, H)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(ARGNAMES_SPACE, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)

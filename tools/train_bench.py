@@ -93,7 +93,8 @@ def main():
             time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
             save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
             scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
-            layout=os.environ.get("TVTS_LAYOUT", "row"))
+            layout=os.environ.get("TVTS_LAYOUT", "row"),
+            space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
         print("fused train path (Pallas fwd+bwd megakernels)"
               + (" [scan-over-blocks]"
                  if os.environ.get("TVTS_SCAN", "0") == "1" else "")

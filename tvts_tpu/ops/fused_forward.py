@@ -360,6 +360,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              save_acts: bool = True,
                              scan_blocks: bool = False,
                              layout: str = "row",
+                             space_fpp: int | None = None,
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -391,12 +392,14 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         return _make_dmajor_train_forward(cfg, num_frames, n_keep,
                                           dtype=dtype, time_chunk=time_chunk,
                                           scan_blocks=scan_blocks,
+                                          space_fpp=space_fpp,
+                                          save_probs=space_mode == "pallas_ps",
                                           interpret=interpret)
     if space_mode not in ("pallas", "pallas_ps", "pallas_v2", "pallas_v5",
-                          "xla"):
+                          "pallas_v10", "pallas_v10r", "xla"):
         raise ValueError(f"space_mode {space_mode!r} not in "
                          "('pallas', 'pallas_ps', 'pallas_v2', 'pallas_v5',"
-                         " 'xla')")
+                         " 'pallas_v10', 'pallas_v10r', 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
     if time_mode not in ("pallas", "pallas_v3", "xla"):
@@ -429,7 +432,8 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                    chunk=time_chunk, save_acts=save_acts,
                                    interpret=interpret)
-    if not save_acts and space_mode in ("pallas", "pallas_ps"):
+    if not save_acts and space_mode in ("pallas", "pallas_ps",
+                                        "pallas_v10", "pallas_v10r"):
         # flash-style recompute (H/14 single-chip memory mode): the v3
         # kernels require saved acts, so the space sub-path drops to v2
         space_mode = "pallas_v2"
@@ -445,6 +449,17 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         space_f = make_space_subpath_v3(num_frames, n_keep, cfg.heads,
                                         save_probs=space_mode == "pallas_ps",
                                         interpret=interpret)
+    elif space_mode in ("pallas_v10", "pallas_v10r"):
+        # v9 FPP-frame-batched attention + row tower I/O (the extraction v9
+        # win applied to training); pallas_v10 also saves the forward
+        # softmax state for the backward, pallas_v10r recomputes it
+        # (memory-neutral vs pallas)
+        from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
+
+        space_f = make_space_subpath_v10(num_frames, n_keep, cfg.heads,
+                                         fpp=space_fpp or 3,
+                                         save_probs=space_mode == "pallas_v10",
+                                         interpret=interpret)
     elif space_mode == "pallas_v5":
         # frame-batched row-major kernels (batched per-head dot_generals,
         # big-K weight grads, no in-kernel weight transposes)
@@ -524,18 +539,28 @@ def _make_dmajor_train_forward(cfg: VisionConfig, num_frames: int,
                                n_keep: int, dtype=jnp.bfloat16,
                                time_chunk: int = 128,
                                scan_blocks: bool = False,
+                               space_fpp: int | None = None,
+                               save_probs: bool = False,
                                interpret: bool = False):
     """The v7 d-major differentiable tower (see make_fused_train_forward's
-    layout="dmajor" docstring)."""
+    layout="dmajor" docstring). space_fpp>1 swaps the space sub-path for the
+    v9 FPP-frame-batched kernels; save_probs makes its backward consume the
+    forward-saved softmax state."""
     from tvts_tpu.ops.pallas_block_backward import (
         make_mlp_subpath_v7,
         make_space_subpath_v7,
+        make_space_subpath_v9,
         make_time_subpath_v7,
     )
 
     tc = time_chunk if n_keep % time_chunk == 0 else None
     time_f = make_time_subpath_v7(cfg.heads, chunk=tc, interpret=interpret)
-    space_f = make_space_subpath_v7(cfg.heads, interpret=interpret)
+    if space_fpp and space_fpp > 1:
+        space_f = make_space_subpath_v9(cfg.heads, fpp=space_fpp,
+                                        save_probs=save_probs,
+                                        interpret=interpret)
+    else:
+        space_f = make_space_subpath_v7(cfg.heads, interpret=interpret)
     mlp_f = make_mlp_subpath_v7(act=cfg.act, interpret=interpret)
 
     def block_weights(bp):
@@ -592,6 +617,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            mlp_mode: str = "xla", space_mode: str = "pallas",
                            time_mode: str = "pallas", save_acts: bool = True,
                            scan_blocks: bool = False, layout: str = "row",
+                           space_fpp: int | None = None,
                            interpret: bool = False):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
@@ -604,6 +630,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          save_acts=save_acts,
                                          scan_blocks=scan_blocks,
                                          layout=layout,
+                                         space_fpp=space_fpp,
                                          interpret=interpret)
 
     def apply(params, batch):

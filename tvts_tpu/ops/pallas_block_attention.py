@@ -2557,16 +2557,30 @@ def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
     return jnp.concatenate([out_cls, out_p.reshape(B, T * N, D)], axis=1)
 
 
-def _make_space_block_kernel_v9(H: int, FPP: int):
+def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
+                                save_acts: bool = False,
+                                save_probs: bool = False,
+                                row_io: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
-               o_ref, ocls_ref, m_scr, l_scr, acc_scr):
+               o_ref, ocls_ref, *rest):
+        if save_stats and save_acts and save_probs:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref,
+             p_ref, pcls_ref, den_ref, m_scr, l_scr, acc_scr) = rest
+        elif save_stats and save_acts:
+            (lse_ref, acls_ref, qT_ref, kT_ref, vT_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats:
+            lse_ref, acls_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            m_scr, l_scr, acc_scr = rest
         """v7 space kernel with FPP frames per program: the per-head
         attention dot_generals batch over [FPP*H] (frame, head) pairs —
         more batch elements per MXU instruction at the same lane width
         (the mxu_lane_probe showed d=64 batched rates rise with batch
-        count). Grid (B, T // FPP), t minor; blocks [1, FPP, D, N]."""
-        D = x_ref.shape[2]
+        count). Grid (B, T // FPP), t minor; blocks [1, FPP, D, N]
+        (row_io: [1, FPP, N, D] with per-frame in-kernel transposes)."""
+        D = ln_sT_ref.shape[0]
         d = D // H
         t = pl.program_id(1)
         dtype = o_ref.dtype
@@ -2596,12 +2610,17 @@ def _make_space_block_kernel_v9(H: int, FPP: int):
         # per-frame qkv projections; head tiles collected as [FPP, H, d, N]
         qs, ks, vs = [], [], []
         for f in range(FPP):
-            x_lnT = lnT(x_ref[0, f]).astype(dtype)         # [D, N]
+            xT_f = x_ref[0, f].T if row_io else x_ref[0, f]
+            x_lnT = lnT(xT_f).astype(dtype)                # [D, N]
             qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
                            preferred_element_type=f32)     # [3D, N]
             qs.append(((qkvT[:D] + bqT) * scale).astype(dtype))
             ks.append((qkvT[D:2 * D] + bkT).astype(dtype))
             vs.append((qkvT[2 * D:] + bvT).astype(dtype))
+            if save_acts:
+                qT_ref[0, f] = qs[-1]
+                kT_ref[0, f] = ks[-1]
+                vT_ref[0, f] = vs[-1]
 
         def heads(ts):                                     # FPP x [D, N]
             return jnp.stack(ts).reshape(FPP * H, d, -1)
@@ -2622,6 +2641,11 @@ def _make_space_block_kernel_v9(H: int, FPP: int):
         p = jnp.exp(logits - m[..., None])
         p_cls = jnp.exp(cls_l - m)
         denom = jnp.sum(p, axis=-1) + p_cls
+        if save_probs:
+            N_ = p.shape[-1]
+            p_ref[0] = p.astype(dtype).reshape(FPP, H, -1, N_)
+            pcls_ref[0] = p_cls.reshape(FPP, H, -1)
+            den_ref[0] = denom.reshape(FPP, H, -1)
         oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
                                   preferred_element_type=f32)
         oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom[:, None, :]
@@ -2630,7 +2654,12 @@ def _make_space_block_kernel_v9(H: int, FPP: int):
         for f in range(FPP):
             projT = jnp.dot(wprojT_ref[:], attn_all[f],
                             preferred_element_type=f32) + bprojT
-            o_ref[0, f] = (base_ref[0, f].astype(f32) + projT).astype(dtype)
+            if row_io:
+                o_ref[0, f] = (base_ref[0, f].astype(f32)
+                               + projT.T).astype(dtype)
+            else:
+                o_ref[0, f] = (base_ref[0, f].astype(f32)
+                               + projT).astype(dtype)
 
         # CLS row: online accumulation over this program's FPP frames
         qcB = jnp.concatenate([qc3] * FPP, axis=0)         # [FPP*H, d, 1]
@@ -2660,13 +2689,19 @@ def _make_space_block_kernel_v9(H: int, FPP: int):
             projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
                              preferred_element_type=f32) + bprojT  # [D, 1]
             ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+            if save_stats:
+                lse_ref[0] = (m_scr[...] + jnp.log(l_scr[...])).T  # [1, H]
+                acls_ref[0] = cls_attT                     # [D, 1] fp32
 
     return kernel
 
 
 def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
                                    wqkv, bqkv, wproj, bproj, num_heads: int,
-                                   fpp: int = 2, interpret: bool = False):
+                                   fpp: int = 2, save_stats: bool = False,
+                                   save_acts: bool = False,
+                                   save_probs: bool = False,
+                                   interpret: bool = False):
     """v7 space sub-path with fpp frames per program (batched [fpp*H]
     attention dot_generals). Same I/O contract as
     fused_space_attention_block_v7; fpp must divide T."""
@@ -2686,16 +2721,45 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
 
+    out_specs = [groupT_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), xT.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                      jax.ShapeDtypeStruct((B, D, 1), jnp.float32)]
+        if save_acts:
+            out_specs += [groupT_spec] * 3
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, N), xT.dtype)] * 3
+            if save_probs:
+                out_specs += [
+                    pl.BlockSpec((1, fpp, H, N, N),
+                                 lambda b, t: (b, t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, fpp, H, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, fpp, H, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                out_shape += [
+                    jax.ShapeDtypeStruct((B, T, H, N, N), xT.dtype),
+                    jax.ShapeDtypeStruct((B, T, H, N), jnp.float32),
+                    jax.ShapeDtypeStruct((B, T, H, N), jnp.float32)]
+
     b3 = bqkv.reshape(3, D)
-    oT, ocls = pl.pallas_call(
-        _make_space_block_kernel_v9(H, fpp),
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
+                                    save_probs),
         grid=(B, T // fpp),
         in_specs=[groupT_spec, groupT_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
                   wprojT_spec, vecT_spec],
-        out_specs=(groupT_spec, cls_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
-                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
@@ -2705,4 +2769,96 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
       wproj.T, bproj.reshape(D, 1))
+    if save_stats:
+        return outs
+    oT, ocls = outs
     return oT, ocls
+
+
+def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
+                                    wproj, bproj, num_frames: int,
+                                    patches_per_frame: int, num_heads: int,
+                                    fpp: int = 2, save_stats: bool = False,
+                                    save_acts: bool = False,
+                                    save_probs: bool = False,
+                                    interpret: bool = False):
+    """v9 FPP-frame-batched space kernel with ROW-major tower I/O (the v3
+    sub-path contract: x/base [B, 1+T*N, D]); the per-frame [N,D]<->[D,N]
+    transposes happen in-kernel (v3 style). Saved activations stay d-major
+    for the v10 backward."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N and T % fpp == 0
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+    base_cls = base[:, :1]
+    base_p = base[:, 1:].reshape(B, T, N, D)
+
+    group_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    groupT_spec = pl.BlockSpec((1, fpp, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    out_specs = [group_spec, cls_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                 jax.ShapeDtypeStruct((B, 1, D), x.dtype)]
+    if save_stats:
+        out_specs += [pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                      jax.ShapeDtypeStruct((B, D, 1), jnp.float32)]
+        if save_acts:
+            out_specs += [groupT_spec] * 3
+            out_shape += [jax.ShapeDtypeStruct((B, T, D, N), x.dtype)] * 3
+            if save_probs:
+                out_specs += [
+                    pl.BlockSpec((1, fpp, H, N, N),
+                                 lambda b, t: (b, t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, fpp, H, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, fpp, H, N),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                out_shape += [
+                    jax.ShapeDtypeStruct((B, T, H, N, N), x.dtype),
+                    jax.ShapeDtypeStruct((B, T, H, N), jnp.float32),
+                    jax.ShapeDtypeStruct((B, T, H, N), jnp.float32)]
+
+    b3 = bqkv.reshape(3, D)
+    outs = pl.pallas_call(
+        _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
+                                    save_probs, row_io=True),
+        grid=(B, T // fpp),
+        in_specs=[group_spec, group_spec, cls_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
+                  wprojT_spec, vecT_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(D, 1),
+      ln_bias.reshape(D, 1), wqkv.T, b3[0].reshape(D, 1),
+      b3[1].reshape(D, 1), b3[2].reshape(D, 1), wproj.T, bproj.reshape(D, 1))
+    out = jnp.concatenate([outs[1], outs[0].reshape(B, T * N, D)], axis=1)
+    if save_stats:
+        return (out,) + tuple(outs[2:])
+    return out

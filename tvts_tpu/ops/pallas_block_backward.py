@@ -2676,3 +2676,464 @@ def make_mlp_subpath_v7(act: str = "quick_gelu", interpret: bool = False):
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
+                              row_io: bool = False):
+    def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, wqkv_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
+               lse_ref, aclsT_ref, qT_ref, kT_ref, vT_ref, *rest):
+        """v7 space backward with FPP frames per program: attention
+        dot_generals batched over [FPP*H]; optionally consumes the
+        forward-saved softmax state (use_probs). Grid (B, T // FPP)."""
+        if use_probs:
+            p_ref, pcls_ref, den_ref = rest[:3]
+            rest = rest[3:]
+        (dx_ref, dxcls_ref, dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref,
+         dwproj_ref, dbprojT_ref, dlsT_ref, dlbT_ref,
+         dqc_scr, dck_scr, dcv_scr) = rest
+        D = ln_sT_ref.shape[0]
+        N = x_ref.shape[2] if row_io else x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        f32 = jnp.float32
+        dtype = x_ref.dtype
+        first = (pl.program_id(0) == 0) & (t == 0)
+        LANE_NN = (((1,), (1,)), ((), ()))
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dwqkvT_ref, dbqT_ref, dbkT_ref, dbvT_ref, dwproj_ref,
+                        dbprojT_ref, dlsT_ref, dlbT_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        @pl.when(t == 0)
+        def _reset_cls():
+            dqc_scr[...] = jnp.zeros_like(dqc_scr)
+            dck_scr[...] = jnp.zeros_like(dck_scr)
+            dcv_scr[...] = jnp.zeros_like(dcv_scr)
+
+        ln_sT = ln_sT_ref[:].astype(f32)
+        ln_bT = ln_bT_ref[:].astype(f32)
+        bqT = bqT_ref[:].astype(f32)
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+
+        def lnT_fwd(tT):
+            tf = tT.astype(f32)
+            mu = jnp.mean(tf, axis=0, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=0, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (tf - mu) * rstd
+            return xhat * ln_sT + ln_bT, xhat, rstd
+
+        clsT = cls_ref[0].T
+        cls_lnT_f, xhat_cT, rstd_cT = lnT_fwd(clsT)
+        cls_lnT = cls_lnT_f.astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT, preferred_element_type=f32)
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+        kcB = jnp.concatenate([kc3] * FPP, axis=0)         # [FPP*H, d, 1]
+        vcB = jnp.concatenate([vc3] * FPP, axis=0)
+        qcB = jnp.concatenate([qc3] * FPP, axis=0)
+
+        q3 = qT_ref[0].reshape(FPP * H, d, N)
+        k3 = kT_ref[0].reshape(FPP * H, d, N)
+        v3 = vT_ref[0].reshape(FPP * H, d, N)
+        k3f = k3.astype(f32)
+        v3f = v3.astype(f32)
+        CONTRACT_D = (((1,), (1,)), ((0,), (0,)))
+        CONTRACT_NK = (((2,), (2,)), ((0,), (0,)))
+        CONTRACT_Q_LHS2 = (((2,), (1,)), ((0,), (0,)))
+
+        # upstream grads per frame, batched to [FPP*H, d, N]
+        dattnT_fs = []
+        gTs = [g_ref[0, f].T if row_io else g_ref[0, f] for f in range(FPP)]
+        for f in range(FPP):
+            dattnT_fs.append(jnp.dot(wproj_ref[:], gTs[f],
+                                     preferred_element_type=f32))
+        dout3 = jnp.stack(dattnT_fs).reshape(FPP * H, d, N)
+        dout_b = dout3.astype(dtype)
+        gcls = gcls_ref[0]
+        dattn_cT = jnp.dot(wproj_ref[:], gcls.T, preferred_element_type=f32)
+        dout_c3 = dattn_cT.reshape(H, d, 1)
+        dout_cB = jnp.concatenate([dout_c3] * FPP, axis=0)
+        acls3 = aclsT_ref[0].reshape(H, d, 1)
+        lse3 = lse_ref[0].T                                # [H, 1]
+        lseB = jnp.concatenate([lse3] * FPP, axis=0)       # [FPP*H, 1]
+
+        if use_probs:
+            recip = 1.0 / den_ref[0].reshape(FPP * H, N)
+            pn = p_ref[0].reshape(FPP * H, N, N).astype(f32) \
+                * recip[..., None]
+            pn_cls = pcls_ref[0].reshape(FPP * H, N) * recip
+            pn_b = pn.astype(dtype)
+        else:
+            logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
+                                         preferred_element_type=f32)
+            cls_l = jnp.sum(q3.astype(f32) * kcB, axis=1)
+            m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+            p = jnp.exp(logits - m[..., None])
+            p_cls = jnp.exp(cls_l - m)
+            denom = jnp.sum(p, axis=-1) + p_cls
+            pn = p / denom[..., None]
+            pn_cls = p_cls / denom
+            pn_b = pn.astype(dtype)
+
+        # attn recompute (no attnT saves) + dwproj per frame
+        oT3 = jax.lax.dot_general(v3, pn_b, CONTRACT_NK,
+                                  preferred_element_type=f32) \
+            + vcB * pn_cls[:, None, :]
+        attn_all = oT3.astype(dtype).reshape(FPP, D, N)
+        for f in range(FPP):
+            dwproj_ref[...] += jax.lax.dot_general(
+                attn_all[f], gTs[f], LANE_NN, preferred_element_type=f32)
+            dbprojT_ref[...] += jnp.sum(gTs[f].astype(f32), axis=1,
+                                        keepdims=True)
+
+        # value / prob / softmax backward (batched)
+        dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)
+        dcv_B = jnp.sum(dout3 * pn_cls[:, None, :], axis=2, keepdims=True)
+        dp = jax.lax.dot_general(dout_b, v3, CONTRACT_D,
+                                 preferred_element_type=f32)
+        dp_cls = jnp.sum(dout3 * vcB, axis=1)
+        rowsum = jnp.sum(pn * dp, axis=-1) + pn_cls * dp_cls
+        ds = pn * (dp - rowsum[..., None])
+        ds_cls = pn_cls * (dp_cls - rowsum)
+        ds_b = ds.astype(dtype)
+        dq3 = jax.lax.dot_general(k3, ds_b, CONTRACT_NK,
+                                  preferred_element_type=f32) \
+            + kcB * ds_cls[:, None, :]
+        dk3 = jax.lax.dot_general(q3, ds_b, CONTRACT_Q_LHS2,
+                                  preferred_element_type=f32)
+        dck_B = jnp.sum(q3.astype(f32) * ds_cls[:, None, :], axis=2,
+                        keepdims=True)
+
+        # CLS row contribution from this program's FPP frames' keys
+        delta3 = jnp.sum(acls3 * dout_c3, axis=1)          # [H, 1]
+        deltaB = jnp.concatenate([delta3] * FPP, axis=0)
+        lrow = jnp.sum(k3f * qcB, axis=1)                  # [FPP*H, Nk]
+        pn_row = jnp.exp(lrow - lseB)
+        dv3 = dv3 + pn_row[:, None, :] * dout_cB
+        dp_row = jnp.sum(v3f * dout_cB, axis=1)
+        ds_row = pn_row * (dp_row - deltaB)
+        dqc_B = jnp.sum(k3f * ds_row[:, None, :], axis=2, keepdims=True)
+        dk3 = dk3 + qcB * ds_row[:, None, :]
+
+        # fold the [FPP*H, d, 1] CLS grads into the [H, d, 1] scratches
+        for f in range(FPP):
+            dcv_scr[...] += dcv_B[f * H:(f + 1) * H]
+            dck_scr[...] += dck_B[f * H:(f + 1) * H]
+            dqc_scr[...] += dqc_B[f * H:(f + 1) * H]
+
+        @pl.when(t == 0)
+        def _self():
+            p_self = jnp.exp(jnp.sum(qc3 * kc3, axis=1) - lse3)
+            dcv_scr[...] += p_self[..., None] * dout_c3
+            dp_self = jnp.sum(vc3 * dout_c3, axis=1)
+            ds_self = p_self * (dp_self - delta3)
+            dqc_scr[...] += ds_self[..., None] * kc3
+            dck_scr[...] += ds_self[..., None] * qc3
+
+        dq_all = (dq3 * scale).reshape(FPP, D, N)
+        dk_all = dk3.reshape(FPP, D, N)
+        dv_all = dv3.reshape(FPP, D, N)
+        for f in range(FPP):
+            dqT = dq_all[f]
+            dkT = dk_all[f]
+            dvT = dv_all[f]
+            dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=0).astype(dtype)
+            x_lnT, xhatT, rstdT = lnT_fwd(
+                x_ref[0, f].T if row_io else x_ref[0, f])
+            x_lnT_b = x_lnT.astype(dtype)
+            dwqkvT_ref[...] += jax.lax.dot_general(
+                dqkvT, x_lnT_b, LANE_NN, preferred_element_type=f32)
+            dbqT_ref[...] += jnp.sum(dqT, axis=1, keepdims=True)
+            dbkT_ref[...] += jnp.sum(dkT, axis=1, keepdims=True)
+            dbvT_ref[...] += jnp.sum(dvT, axis=1, keepdims=True)
+            dxlnT = jnp.dot(wqkv_ref[:], dqkvT, preferred_element_type=f32)
+            dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+            dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+            dxhatT = dxlnT * ln_sT
+            m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
+            m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+            dxT = (dxhatT - m1 - xhatT * m2) * rstdT
+            dx_ref[0, f] = (dxT.T if row_io else dxT).astype(dx_ref.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finish_cls():
+            dqcT = dqc_scr[...].reshape(D, 1) * scale
+            dkcT = dck_scr[...].reshape(D, 1)
+            dvcT = dcv_scr[...].reshape(D, 1)
+            dqkv_cT = jnp.concatenate([dqcT, dkcT, dvcT], axis=0).astype(dtype)
+            dwqkvT_ref[...] += jnp.dot(dqkv_cT, cls_lnT.T,
+                                       preferred_element_type=f32)
+            dbqT_ref[...] += dqcT
+            dbkT_ref[...] += dkcT
+            dbvT_ref[...] += dvcT
+            dwproj_ref[...] += jnp.dot(aclsT_ref[0].astype(dtype), gcls,
+                                       preferred_element_type=f32)
+            dbprojT_ref[...] += gcls.astype(f32).T
+            dxln_cT = jnp.dot(wqkv_ref[:], dqkv_cT,
+                              preferred_element_type=f32)
+            dlsT_ref[...] += dxln_cT * xhat_cT
+            dlbT_ref[...] += dxln_cT
+            dxhat_c = dxln_cT * ln_sT
+            m1c = jnp.mean(dxhat_c, axis=0, keepdims=True)
+            m2c = jnp.mean(dxhat_c * xhat_cT, axis=0, keepdims=True)
+            dxcT = (dxhat_c - m1c - xhat_cT * m2c) * rstd_cT
+            dxcls_ref[0] = dxcT.T.astype(dxcls_ref.dtype)
+
+    return kernel
+
+
+def fused_space_attention_block_v9_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
+                                       wqkv, bqkv, wproj, lse, aclsT,
+                                       acts_saved, probs_saved,
+                                       num_heads: int, fpp: int,
+                                       interpret: bool = False):
+    """Backward matching fused_space_attention_block_v9 (d-major tower I/O,
+    FPP frames per program)."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+    b3 = bqkv.reshape(3, D)
+
+    groupT_spec = pl.BlockSpec((1, fpp, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    clsT_spec = pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    extra_specs = [groupT_spec] * 3
+    extra_ins = tuple(acts_saved)
+    if probs_saved is not None:
+        extra_specs += [
+            pl.BlockSpec((1, fpp, H, N, N), lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fpp, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fpp, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        extra_ins += tuple(probs_saved)
+
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel_v9(H, fpp, use_probs=probs_saved is not None),
+        grid=(B, T // fpp),
+        in_specs=[groupT_spec, cls_spec, groupT_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wproj_spec, lse_spec, clsT_spec] + extra_specs,
+        out_specs=(groupT_spec, cls_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                   vecT_spec, wproj_spec, vecT_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D, N), xT.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), xT.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj, lse, aclsT, *extra_ins)
+    (dxT, dxcls, dwqkvT, dbqT, dbkT, dbvT, dwproj, dbprojT, dlsT, dlbT) = outs
+    dbqkv = jnp.concatenate([dbqT[:, 0], dbkT[:, 0], dbvT[:, 0]])
+    return (dxT, dxcls, dlsT[:, 0], dlbT[:, 0], dwqkvT.T, dbqkv, dwproj,
+            dbprojT[:, 0])
+
+
+def make_space_subpath_v9(num_heads: int, fpp: int = 3,
+                          save_probs: bool = True,
+                          interpret: bool = False):
+    """Differentiable d-major FPP-frame-batched space sub-path (v9 train).
+    Same contract as make_space_subpath_v7; save_probs additionally skips
+    the softmax recompute in the backward."""
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v9
+
+    H = num_heads
+
+    @jax.custom_vjp
+    def f(xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+          bproj):
+        return fused_space_attention_block_v9(
+            xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            bproj, num_heads=H, fpp=fpp, interpret=interpret)
+
+    def fwd(xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            bproj):
+        outs = fused_space_attention_block_v9(
+            xT, baseT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            bproj, num_heads=H, fpp=fpp, save_stats=True, save_acts=True,
+            save_probs=save_probs, interpret=interpret)
+        oT, ocls, lse, aclsT = outs[:4]
+        acts = tuple(outs[4:7])
+        probs = tuple(outs[7:]) if save_probs else None
+        return (oT, ocls), (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            lse, aclsT, acts, probs)
+
+    def bwd(res, g):
+        goT, gocls = g
+        (xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT, acts,
+         probs) = res
+        dxT, dxcls, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v9_bwd(
+                goT, gocls, xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                lse, aclsT, acts, probs, num_heads=H, fpp=fpp,
+                interpret=interpret)
+        return (dxT, goT, dxcls, gocls, dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_space_attention_block_v10_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
+                                        wproj, lse, aclsT, acts_saved,
+                                        probs_saved, num_frames: int,
+                                        patches_per_frame: int,
+                                        num_heads: int, fpp: int,
+                                        interpret: bool = False):
+    """Backward matching fused_space_attention_block_v10 (row-major tower
+    I/O, FPP frames per program, d-major saves)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    H = num_heads
+    d = D // H
+    assert S == 1 + T * N
+    b3 = bqkv.reshape(3, D)
+
+    g_cls, g_p = g[:, :1], g[:, 1:].reshape(B, T, N, D)
+    x_cls, x_p = x[:, :1], x[:, 1:].reshape(B, T, N, D)
+
+    group_spec = pl.BlockSpec((1, fpp, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    groupT_spec = pl.BlockSpec((1, fpp, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    clsT_spec = pl.BlockSpec((1, D, 1), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    extra_specs = [groupT_spec] * 3
+    extra_ins = tuple(acts_saved)
+    if probs_saved is not None:
+        extra_specs += [
+            pl.BlockSpec((1, fpp, H, N, N), lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fpp, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fpp, H, N), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        extra_ins += tuple(probs_saved)
+
+    outs = pl.pallas_call(
+        _make_space_bwd_kernel_v9(H, fpp, use_probs=probs_saved is not None,
+                                  row_io=True),
+        grid=(B, T // fpp),
+        in_specs=[group_spec, cls_spec, group_spec, cls_spec, vecT_spec,
+                  vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
+                  vecT_spec, wproj_spec, lse_spec, clsT_spec] + extra_specs,
+        out_specs=(group_spec, cls_spec, wqkvT_spec, vecT_spec, vecT_spec,
+                   vecT_spec, wproj_spec, vecT_spec, vecT_spec, vecT_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+                   jax.ShapeDtypeStruct((3 * D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((D, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
+      b3[2].reshape(D, 1), wproj, lse, aclsT, *extra_ins)
+    (dx_p, dx_cls, dwqkvT, dbqT, dbkT, dbvT, dwproj, dbprojT, dlsT,
+     dlbT) = outs
+    dx = jnp.concatenate([dx_cls, dx_p.reshape(B, T * N, D)], axis=1)
+    dbqkv = jnp.concatenate([dbqT[:, 0], dbkT[:, 0], dbvT[:, 0]])
+    return (dx, dlsT[:, 0], dlbT[:, 0], dwqkvT.T, dbqkv, dwproj,
+            dbprojT[:, 0])
+
+
+def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
+                           num_heads: int, fpp: int = 3,
+                           save_probs: bool = True,
+                           interpret: bool = False):
+    """Differentiable FPP-frame-batched space sub-path with ROW tower I/O —
+    drop-in for make_space_subpath_v3 (space_mode='pallas_v10'): the v9
+    batched-attention kernels + in-kernel per-frame transposes + optional
+    probs-saving backward."""
+    from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v10
+
+    T, N, H = num_frames, patches_per_frame, num_heads
+
+    @jax.custom_vjp
+    def f(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        return fused_space_attention_block_v10(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+            interpret=interpret)
+
+    def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        outs = fused_space_attention_block_v10(
+            x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
+            save_stats=True, save_acts=True, save_probs=save_probs,
+            interpret=interpret)
+        out, lse, aclsT = outs[0], outs[1], outs[2]
+        acts = tuple(outs[3:6])
+        probs = tuple(outs[6:]) if save_probs else None
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+                     acts, probs)
+
+    def bwd(res, g):
+        (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT, acts,
+         probs) = res
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
+            fused_space_attention_block_v10_bwd(
+                g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
+                acts, probs, num_frames=T, patches_per_frame=N, num_heads=H,
+                fpp=fpp, interpret=interpret)
+        return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
