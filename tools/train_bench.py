@@ -89,7 +89,7 @@ def main():
             model, cfg, num_frames=v.num_frames, n_keep=v.n_keep,
             time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
             mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
-            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas"),
+            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
             time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
             save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
             scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",

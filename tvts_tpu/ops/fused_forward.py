@@ -355,7 +355,7 @@ def _embed_stem(params, cfg, video, keep_ind, dtype):
 def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              dtype=jnp.bfloat16, time_chunk: int = 128,
                              mlp_chunk: int = 256, mlp_mode: str = "xla",
-                             space_mode: str = "pallas",
+                             space_mode: str = "pallas_v10r",
                              time_mode: str = "pallas",
                              save_acts: bool = True,
                              scan_blocks: bool = False,
@@ -456,8 +456,11 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         # (memory-neutral vs pallas)
         from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
 
+        fpp = space_fpp or 3
+        if num_frames % fpp:
+            fpp = 1
         space_f = make_space_subpath_v10(num_frames, n_keep, cfg.heads,
-                                         fpp=space_fpp or 3,
+                                         fpp=fpp,
                                          save_probs=space_mode == "pallas_v10",
                                          interpret=interpret)
     elif space_mode == "pallas_v5":
@@ -614,7 +617,8 @@ def _make_dmajor_train_forward(cfg: VisionConfig, num_frames: int,
 
 def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            dtype=jnp.bfloat16, time_chunk: int = 128,
-                           mlp_mode: str = "xla", space_mode: str = "pallas",
+                           mlp_mode: str = "xla",
+                           space_mode: str = "pallas_v10r",
                            time_mode: str = "pallas", save_acts: bool = True,
                            scan_blocks: bool = False, layout: str = "row",
                            space_fpp: int | None = None,
