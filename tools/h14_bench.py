@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--mask", type=int, default=0,
                     help="1 = pretrain shape (mask_ratio 0.7)")
     ap.add_argument("--time_chunk", type=int, default=128)
+    ap.add_argument("--kv", type=int, default=2,
+                    help="kernel_version (7 = d-major tower; at H/14 "
+                         "extraction N=256 the d-major lane pad is ZERO)")
+    ap.add_argument("--sfpp", type=int, default=0,
+                    help="v9 frames-per-program for the space kernel (kv=7)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -61,7 +66,8 @@ def main():
         @jax.jit
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
-                params, vcfg, video, keep, kernel_version=2,
+                params, vcfg, video, keep, kernel_version=args.kv,
+                space_fpp=args.sfpp or None,
                 time_chunk=args.time_chunk)
             return pooled
     else:
@@ -82,7 +88,7 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, B * args.iters / dt)
     label = "mask0.7" if args.mask else "extract"
-    path = "fused-v2" if args.fused else "xla"
+    path = f"fused-v{args.kv}" if args.fused else "xla"
     print(f"H/14 {label} ({path}, B={B}): {best:.2f} clips/s/chip "
           f"({B / best * 1000:.0f} ms/batch)")
 
