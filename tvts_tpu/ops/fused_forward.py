@@ -456,9 +456,11 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         # (memory-neutral vs pallas)
         from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
 
-        fpp = space_fpp or 3
+        # measured peaks (PERF.md): fpp=4 with the probs-saving backward
+        # (94.65 clips/s at B=20), fpp=3 with recompute (90.54)
+        fpp = space_fpp or (4 if space_mode == "pallas_v10" else 3)
         if num_frames % fpp:
-            fpp = 1
+            fpp = next((c for c in (4, 3, 2) if num_frames % c == 0), 1)
         space_f = make_space_subpath_v10(num_frames, n_keep, cfg.heads,
                                          fpp=fpp,
                                          save_probs=space_mode == "pallas_v10",
