@@ -150,6 +150,31 @@ def test_time_subpath_grads(shape, chunk, save_acts):
                                    rtol=2e-3, err_msg=n)
 
 
+@pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4)])
+def test_time_subpath_tps_grads(shape, chunk):
+    """Time sub-path with the probs-saving backward (save_probs=True)."""
+    from tvts_tpu.ops.pallas_block_backward import make_time_subpath
+
+    B, T, N, D = shape
+    H = 4
+    x, _, ln_s, ln_b, wqkv, bqkv, wproj, bproj = _attn_args(21, B, T, N, D)
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    f = make_time_subpath(T, N, H, chunk=chunk, save_probs=True,
+                          interpret=True)
+    ref = _time_ref(T, N, H)
+
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),
+                               atol=3e-5, rtol=1e-4)
+    g_f = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                   argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                   argnums=tuple(range(7)))(*args)
+    names = ["dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for n, a, b in zip(names, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=2e-3, err_msg=n)
+
+
 @pytest.mark.parametrize("shape,chunk", [((2, 3, 5, 32), 4), ((1, 4, 9, 64), 16)])
 def test_time_subpath_v3_grads(shape, chunk):
     """d-major T-leading time backward (v3) vs jax.grad of the XLA path."""

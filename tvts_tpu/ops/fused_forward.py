@@ -402,9 +402,9 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                          " 'pallas_v10', 'pallas_v10r', 'xla')")
     if mlp_mode not in ("pallas", "xla"):
         raise ValueError(f"mlp_mode {mlp_mode!r} not in ('pallas', 'xla')")
-    if time_mode not in ("pallas", "pallas_v3", "xla"):
+    if time_mode not in ("pallas", "pallas_tps", "pallas_v3", "xla"):
         raise ValueError(f"time_mode {time_mode!r} not in "
-                         "('pallas', 'pallas_v3', 'xla')")
+                         "('pallas', 'pallas_tps', 'pallas_v3', 'xla')")
     if time_mode == "xla":
         # H/14 memory mode: the v2 time backward's scoped VMEM (f32
         # weight-grad accumulators + recompute working set at D=1280)
@@ -429,8 +429,12 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         time_f = make_time_subpath_v3(num_frames, n_keep, cfg.heads,
                                       chunk=time_chunk, interpret=interpret)
     else:
+        # pallas_tps: the forward also saves the per-frame softmax probs so
+        # the backward skips its per-t l/exp/denom chain (~90 MB/block at
+        # B=20 pretrain shapes)
         time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                    chunk=time_chunk, save_acts=save_acts,
+                                   save_probs=time_mode == "pallas_tps",
                                    interpret=interpret)
     if not save_acts and space_mode in ("pallas", "pallas_ps",
                                         "pallas_v10", "pallas_v10r"):

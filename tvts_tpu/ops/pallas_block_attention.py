@@ -429,11 +429,15 @@ def _ln_fn(ln_s, ln_b):
 def _make_time_block_kernel_v2(H: int, T: int, N: int,
                                save_stats: bool = False,
                                save_acts: bool = False,
-                               save_transposed: bool = False):
+                               save_transposed: bool = False,
+                               save_probs: bool = False):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                o_ref, ocls_ref, *rest):
-        if save_stats and save_acts:
+        if save_stats and save_acts and save_probs:
+            (lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref, p_ref,
+             m_scr, l_scr, acc_scr) = rest
+        elif save_stats and save_acts:
             (lse_ref, acls_ref, q_ref, k_ref, v_ref, attn_ref,
              m_scr, l_scr, acc_scr) = rest
         elif save_stats:
@@ -528,6 +532,9 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
             m = jnp.max(full, axis=1, keepdims=True)
             p = jnp.exp(full - m)
             denom = jnp.sum(p, axis=1, keepdims=True)      # [H, 1, Nc]
+            if save_probs:
+                # NORMALIZED probs for the backward (it consumes pn only)
+                p_ref[0, t] = (p / denom).astype(dtype)
             out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
             out_t = out_t + p[:, 0][:, None, :] * cv4
             outs_t.append((out_t / denom).astype(dtype).reshape(D, Nc))
@@ -581,6 +588,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   chunk: int = 128, save_stats: bool = False,
                                   save_acts: bool = False,
                                   save_transposed: bool = False,
+                                  save_probs: bool = False,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
@@ -637,9 +645,15 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
         elif save_acts:
             out_specs += [chunk_spec] * 4
             out_shape += [jax.ShapeDtypeStruct((B, T, Np, D), x.dtype)] * 4
+        if save_acts and save_probs:
+            out_specs += [pl.BlockSpec((1, T, num_heads, T + 1, chunk),
+                                       lambda b, c: (b, 0, 0, 0, c),
+                                       memory_space=pltpu.VMEM)]
+            out_shape += [jax.ShapeDtypeStruct(
+                (B, T, num_heads, T + 1, Np), x.dtype)]
     outs = pl.pallas_call(
         _make_time_block_kernel_v2(num_heads, T, N, save_stats, save_acts,
-                                   save_transposed),
+                                   save_transposed, save_probs),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
@@ -657,7 +671,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     out = jnp.concatenate([out_cls,
                            out_p[:, :, :N].reshape(B, T * N, D)], axis=1)
     if save_stats and save_acts:
-        return out, outs[2], outs[3], outs[4], outs[5], outs[6], outs[7]
+        return (out,) + tuple(outs[2:])
     if save_stats:
         return out, outs[2], outs[3]
     return out

@@ -498,7 +498,8 @@ def make_space_subpath(num_frames: int, patches_per_frame: int,
     return f
 
 
-def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
+def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False,
+                          use_probs: bool = False):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
                lse_ref, acls_ref, *rest):
@@ -506,10 +507,15 @@ def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
         forward folds the residual (o = x + proj), so dx = g + LN-path.
 
         use_saved: q/k/v and the pre-projection attention output loaded from
-        the forward's saved outputs instead of recomputed."""
+        the forward's saved outputs instead of recomputed. use_probs: the
+        per-frame softmax probs come from the forward too (the per-t
+        l/exp/denom chain disappears)."""
         if use_saved:
             q_ref, k_ref, v_ref, attn_ref = rest[:4]
             rest = rest[4:]
+        if use_probs:
+            p_ref = rest[0]
+            rest = rest[1:]
         (dx_ref, dxcls_ref, dwqkv_ref, dbq_ref, dbk_ref, dbv_ref,
          dwproj_ref, dbproj_ref, dls_ref, dlb_ref,
          dqc_scr, dck_scr, dcv_scr) = rest
@@ -602,13 +608,16 @@ def _make_time_bwd_kernel(H: int, T: int, N: int, use_saved: bool = False):
         outs_t = []
         for t in range(T):
             qt = q4[:, t]                                     # [H, d, Nc]
-            l = jnp.sum(qt[:, None] * k4, axis=2)             # [H, T, Nc]
-            cls_l = jnp.sum(qt * kc4, axis=1)[:, None]        # [H, 1, Nc]
-            full = jnp.concatenate([cls_l, l], axis=1)        # [H, T+1, Nc]
-            m = jnp.max(full, axis=1, keepdims=True)
-            p = jnp.exp(full - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            pn = p / denom                                    # [H, T+1, Nc]
+            if use_probs:
+                pn = p_ref[0, t].astype(jnp.float32)          # [H, T+1, Nc]
+            else:
+                l = jnp.sum(qt[:, None] * k4, axis=2)         # [H, T, Nc]
+                cls_l = jnp.sum(qt * kc4, axis=1)[:, None]    # [H, 1, Nc]
+                full = jnp.concatenate([cls_l, l], axis=1)    # [H, T+1, Nc]
+                m = jnp.max(full, axis=1, keepdims=True)
+                p = jnp.exp(full - m)
+                denom = jnp.sum(p, axis=1, keepdims=True)
+                pn = p / denom                                # [H, T+1, Nc]
             if not use_saved:
                 out_t = jnp.sum(pn[:, 1:][:, :, None] * v4, axis=1) \
                     + pn[:, 0][:, None, :] * vc4              # [H, d, Nc]
@@ -728,6 +737,7 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                       wproj, lse, attn_cls, num_frames: int,
                                       patches_per_frame: int, num_heads: int,
                                       chunk: int = 64, acts_saved=None,
+                                      probs_saved=None,
                                       interpret: bool = False):
     """Backward of the time sub-path (residual folded: returns the FULL dx)."""
     B, S, D = x.shape
@@ -760,9 +770,16 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
     extra_in_specs = [chunk_spec] * 4 if acts_saved is not None else []
     extra_ins = tuple(acts_saved) if acts_saved is not None else ()
+    if probs_saved is not None:
+        H = num_heads
+        extra_in_specs += [pl.BlockSpec((1, T, H, T + 1, chunk),
+                                        lambda b, c: (b, 0, 0, 0, c),
+                                        memory_space=pltpu.VMEM)]
+        extra_ins += (probs_saved,)
     outs = pl.pallas_call(
         _make_time_bwd_kernel(num_heads, T, N,
-                              use_saved=acts_saved is not None),
+                              use_saved=acts_saved is not None,
+                              use_probs=probs_saved is not None),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, chunk_spec, cls_spec, vec_spec,
                   vec_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
@@ -794,11 +811,15 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
 def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
                       chunk: int = 64, save_acts: bool = True,
+                      save_probs: bool = False,
                       interpret: bool = False):
     """Differentiable fused time sub-path (residual included):
     f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + TimeAttn path.
 
-    save_acts: see make_space_subpath."""
+    save_acts: see make_space_subpath. save_probs (requires save_acts): the
+    forward also saves the per-frame normalized softmax probs
+    ([B,T,H,T+1,Np] bf16) so the backward skips the per-t l/exp/denom
+    chain."""
     T, N, H = num_frames, patches_per_frame, num_heads
 
     @jax.custom_vjp
@@ -811,23 +832,30 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
         outs = fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
             patches_per_frame=N, num_heads=H, chunk=chunk, save_stats=True,
-            save_acts=save_acts, interpret=interpret)
-        if save_acts:
+            save_acts=save_acts, save_probs=save_probs and save_acts,
+            interpret=interpret)
+        probs_saved = None
+        if save_acts and save_probs:
+            out, lse, acls, q, k, v, attn, probs_saved = outs
+            acts_saved = (q, k, v, attn)
+        elif save_acts:
             out, lse, acls, q, k, v, attn = outs
             acts_saved = (q, k, v, attn)
         else:
             out, lse, acls = outs
             acts_saved = None
         return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
-                     acts_saved)
+                     acts_saved, probs_saved)
 
     def bwd(res, g):
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts_saved = res
+        (x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls, acts_saved,
+         probs_saved) = res
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
             fused_time_attention_block_v2_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
                 num_frames=T, patches_per_frame=N, num_heads=H, chunk=chunk,
-                acts_saved=acts_saved, interpret=interpret)
+                acts_saved=acts_saved, probs_saved=probs_saved,
+                interpret=interpret)
         return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
