@@ -132,9 +132,17 @@ def main():
         if args.fused_kernels:
             from tvts_tpu.ops.fused_forward import make_fused_train_apply
 
+            # defaults = the measured-best memory-neutral config (PERF.md);
+            # the env knobs mirror tools/train_bench.py for tuning (e.g.
+            # TVTS_SPACE_MODE=pallas_v10 TVTS_TIME_MODE=pallas_tps where
+            # HBM allows the probs saves)
             apply_fn = make_fused_train_apply(
                 model, cfg, num_frames=cfg.vision.num_frames,
-                n_keep=cfg.vision.n_keep)
+                n_keep=cfg.vision.n_keep,
+                space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
+                time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
+                scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
+                space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
             print("fused Pallas train kernels enabled")
         trainer = Trainer(model, params, tx, loaders, val_loaders,
                           apply_fn=apply_fn,
