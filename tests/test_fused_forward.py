@@ -77,6 +77,31 @@ def test_fused_forward_v7_dmajor_matches_apply(pool, act, version):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("pool,act", [("openai", "quick_gelu"),
+                                      ("openclip", "gelu")])
+def test_fused_forward_cls_only_tail_matches_apply(pool, act):
+    """need_tokens=False with kernel_version=7: the LAST block runs the
+    CLS-only space kernel + a CLS-only MLP (the per-frame outputs are dead
+    when only the pooled embedding is consumed) — pooled must still match
+    model.apply."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5,
+                       act=act, pool_style=pool)
+    model = SpaceTimeViT(cfg)
+    rng = np.random.default_rng(3)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want, _ = model.apply({"params": params}, video, keep)
+    got, toks = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        space_fpp=2, need_tokens=False, interpret=True)
+    assert toks is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("fpp", [2, 4])
 def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
     """kernel_version=7 with space_fpp (v9: fpp frames per space program,

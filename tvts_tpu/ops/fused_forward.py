@@ -168,6 +168,26 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["timeattn"]["proj"]["kernel"].astype(dtype),
                 bp["timeattn"]["proj"]["bias"].astype(dtype),
                 num_heads=cfg.heads, chunk=tc, interpret=interpret)
+            if not need_tokens and i == cfg.layers - 1 and kernel_version == 7:
+                # CLS-only tail: when only the pooled embedding is consumed,
+                # the LAST block's per-frame space outputs and its MLP over
+                # 2352 patch tokens are dead — compute just the CLS row
+                from tvts_tpu.ops.pallas_block_attention import (
+                    fused_space_cls_only_v7,
+                )
+
+                src = fused_space_cls_only_v7(
+                    trT, trc, cls,
+                    bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                    bp["attn"]["qkv"]["kernel"].astype(dtype),
+                    bp["attn"]["qkv"]["bias"].astype(dtype),
+                    bp["attn"]["proj"]["kernel"].astype(dtype),
+                    bp["attn"]["proj"]["bias"].astype(dtype),
+                    num_heads=cfg.heads, interpret=interpret)
+                mp = {"c_fc": bp["mlp"]["c_fc"], "c_proj": bp["mlp"]["c_proj"]}
+                cls = src + _mlp(
+                    _layernorm(src, bp["ln_2"]).astype(dtype), mp, cfg.act)
+                return _pool(params, cfg, cls, dtype, need_tokens=False)
             if kernel_version == 8:
                 xT, cls = fused_spacemlp_block_v7(
                     trT, xT, trc, cls,

@@ -2876,3 +2876,109 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     if save_stats:
         return (out,) + tuple(outs[2:])
     return out
+
+
+def _make_space_cls_kernel_v7(H: int):
+    def kernel(x_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
+               wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
+               ocls_ref, m_scr, l_scr, acc_scr):
+        """CLS-ONLY space sub-path (extraction tail): when only the pooled
+        CLS embedding is consumed, the LAST block's per-frame attention
+        outputs are dead — this kernel computes just the CLS global row
+        (k/v of every frame + online softmax), skipping the per-frame
+        q/logits/softmax/probs@v/projection entirely. Grid (B, T)."""
+        D = ln_sT_ref.shape[0]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = ocls_ref.dtype
+        f32 = jnp.float32
+
+        bqT = bqT_ref[:].astype(f32)
+        bkT = bkT_ref[:].astype(f32)
+        bvT = bvT_ref[:].astype(f32)
+        scale = jnp.asarray(d, f32) ** -0.5
+        lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
+
+        clsT = cls_ref[0].T                                # [D, 1]
+        cls_lnT = lnT(clsT).astype(dtype)
+        qkv_cT = jnp.dot(wqkvT_ref[:], cls_lnT,
+                         preferred_element_type=f32)       # [3D, 1]
+        qc3 = ((qkv_cT[:D] + bqT) * scale).reshape(H, d, 1)
+        kc3 = (qkv_cT[D:2 * D] + bkT).reshape(H, d, 1)
+        vc3 = (qkv_cT[2 * D:] + bvT).reshape(H, d, 1)
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[...] = jnp.sum(qc3 * kc3, axis=1)        # [H, 1]
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vc3
+
+        x_lnT = lnT(x_ref[0, 0]).astype(dtype)             # [D, N]
+        # only k/v needed (no per-frame queries)
+        kvT = jnp.dot(wqkvT_ref[D:], x_lnT,
+                      preferred_element_type=f32)          # [2D, N]
+        k3 = (kvT[:D] + bkT).astype(f32).reshape(H, d, -1)
+        v3 = (kvT[D:] + bvT).astype(f32).reshape(H, d, -1)
+
+        lc = jnp.sum(k3 * qc3, axis=1)                     # [H, Nk]
+        c_max = jnp.max(lc, axis=1, keepdims=True)
+        m_old = m_scr[...]
+        m_new = jnp.maximum(m_old, c_max)
+        corr = jnp.exp(m_old - m_new)
+        p_c = jnp.exp(lc - m_new)
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p_c, axis=1, keepdims=True)
+        pv = jnp.sum(v3 * p_c[:, None, :], axis=2, keepdims=True)
+        acc_scr[...] = acc_scr[...] * corr[..., None] + pv
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            cls_attT = (acc_scr[...] / l_scr[...][..., None]).reshape(D, 1)
+            projcT = jnp.dot(wprojT_ref[:], cls_attT.astype(dtype),
+                             preferred_element_type=f32) \
+                + bprojT_ref[:].astype(f32)                # [D, 1]
+            ocls_ref[0] = (basecls_ref[0].astype(f32) + projcT.T).astype(dtype)
+
+    return kernel
+
+
+def fused_space_cls_only_v7(xT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv,
+                            wproj, bproj, num_heads: int,
+                            interpret: bool = False):
+    """CLS-only space sub-path: xT [B,T,D,N] (the time sub-path output),
+    cls/basecls [B,1,D]. Returns ocls [B,1,D] == the v7 space kernel's CLS
+    output, with the dead per-frame outputs never computed."""
+    B, T, D, N = xT.shape
+    H = num_heads
+    d = D // H
+
+    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vecT_spec = pl.BlockSpec((D, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wqkvT_spec = pl.BlockSpec((3 * D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wprojT_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    ocls = pl.pallas_call(
+        _make_space_cls_kernel_v7(H),
+        grid=(B, T),
+        in_specs=[frameT_spec, cls_spec, cls_spec, vecT_spec, vecT_spec,
+                  wqkvT_spec, vecT_spec, vecT_spec, vecT_spec, wprojT_spec,
+                  vecT_spec],
+        out_specs=cls_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), xT.dtype),
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, d, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
+      wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
+      wproj.T, bproj.reshape(D, 1))
+    return ocls
