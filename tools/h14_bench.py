@@ -37,6 +37,10 @@ def main():
                          "extraction N=256 the d-major lane pad is ZERO)")
     ap.add_argument("--sfpp", type=int, default=0,
                     help="v9 frames-per-program for the space kernel (kv=7)")
+    ap.add_argument("--tokens", type=int, default=1,
+                    help="0 = pooled-only (the zero-shot eval contract): "
+                         "skips the token projection and, at kv=7, runs the "
+                         "dead-work-free CLS-only last block")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -68,6 +72,7 @@ def main():
             pooled, _ = space_time_vit_fused_forward(
                 params, vcfg, video, keep, kernel_version=args.kv,
                 space_fpp=args.sfpp or None,
+                need_tokens=bool(args.tokens),
                 time_chunk=args.time_chunk)
             return pooled
     else:
