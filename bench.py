@@ -34,8 +34,9 @@ def main():
     from tvts_tpu.models.space_time_vit import SpaceTimeViT
 
     cfg = tvtsv2_b_16().eval_config().vision  # mask_ratio 0 = extraction mode
-    # default path: the hand-scheduled fused inference forward (space-attention
-    # megakernel, checkpoint-compatible params) — measured 1.13x vs model.apply
+    # default path: the hand-scheduled fused inference forward (v7 d-major
+    # tower + v9 frame-batched space + CLS-only tail) — ~176.5 clips/s vs
+    # ~67 for model.apply at B=32 (PERF.md round 3)
     use_fused = os.environ.get("TVTS_TPU_BENCH_FUSED", "1") == "1"
     model = SpaceTimeViT(cfg, dtype=jnp.bfloat16)
 

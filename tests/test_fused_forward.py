@@ -102,6 +102,28 @@ def test_fused_forward_cls_only_tail_matches_apply(pool, act):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("kv", [2, 4])
+def test_fused_forward_cls_only_tail_v2_matches_apply(kv):
+    """need_tokens=False on the ROW-major tower (kernel_version 2/4, the
+    B/32 N=49 path): the LAST block runs fused_space_cls_only_v2 + a
+    CLS-only MLP — pooled must still match model.apply."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    model = SpaceTimeViT(cfg)
+    rng = np.random.default_rng(7)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want, _ = model.apply({"params": params}, video, keep)
+    got, toks = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=kv,
+        need_tokens=False, interpret=True)
+    assert toks is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("fpp", [2, 4])
 def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
     """kernel_version=7 with space_fpp (v9: fpp frames per space program,

@@ -33,6 +33,12 @@ def main():
                     help="1 = pretrain shape (mask_ratio 0.5)")
     ap.add_argument("--time_chunk", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--tokens", type=int, default=0,
+                    help="1 = also produce per-token embeddings (pre-round-3 "
+                         "semantics); 0 = pooled CLS only, which lets the "
+                         "fused path run the CLS-only last-block tail")
+    ap.add_argument("--keep", type=int, default=0,
+                    help="1 = explicit full-arange keep gather at mask 0")
     args = ap.parse_args()
 
     cfg = tvtsv2_b_32()
@@ -45,9 +51,12 @@ def main():
         size=(B, vcfg.num_frames, 3, vcfg.input_resolution,
               vcfg.input_resolution)).astype(np.float32))
     n_keep = vcfg.n_keep if args.mask else vcfg.patches_per_frame
-    keep = jnp.asarray(np.stack([
-        np.sort(rng.permutation(vcfg.patches_per_frame)[:n_keep])
-        for _ in range(B)]).astype(np.int32))
+    if args.mask or args.keep:
+        keep = jnp.asarray(np.stack([
+            np.sort(rng.permutation(vcfg.patches_per_frame)[:n_keep])
+            for _ in range(B)]).astype(np.int32))
+    else:
+        keep = None  # extraction never tube-masks (B/16 bench trim)
 
     t0 = time.perf_counter()
     params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
@@ -63,7 +72,7 @@ def main():
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
                 params, vcfg, video, keep, kernel_version=2,
-                time_chunk=args.time_chunk)
+                time_chunk=args.time_chunk, need_tokens=bool(args.tokens))
             return pooled
     else:
         @jax.jit
@@ -84,7 +93,8 @@ def main():
         best = max(best, B * args.iters / dt)
     label = "mask0.5" if args.mask else "extract"
     path = "fused-v2" if args.fused else "xla"
-    print(f"B/32 {label} ({path}, B={B}, time_chunk={args.time_chunk}): "
+    trims = "" if args.mask else f", tokens={args.tokens}, keep={args.keep}"
+    print(f"B/32 {label} ({path}, B={B}, time_chunk={args.time_chunk}{trims}): "
           f"{best:.2f} clips/s/chip ({B / best * 1000:.1f} ms/batch)")
 
 

@@ -25,6 +25,7 @@ from tvts_tpu.ops.pallas_block_attention import (
     fused_space_attention_block_v2,
     fused_space_attention_block_v3,
     fused_space_attention_block_v7,
+    fused_space_attention_block_v9,
     fused_spacemlp_block_v7,
     fused_time_attention_block_v2,
     fused_time_attention_block_v4,
@@ -133,6 +134,10 @@ def main():
         xT, cls, *w, num_heads=H)), (xT, cls) + aw)
     cases["space/v7"] = (chainT(lambda xT, cls, *w: fused_space_attention_block_v7(
         xT, xT, cls, cls, *w, num_heads=H)), (xT, cls) + aw)
+    sfpp = int(os.environ.get("SFPP", "3"))
+    cases[f"space/v9f{sfpp}"] = (chainT(
+        lambda xT, cls, *w: fused_space_attention_block_v9(
+            xT, xT, cls, cls, *w, num_heads=H, fpp=sfpp)), (xT, cls) + aw)
     cases["mlp/v7"] = (chainT(lambda xT, cls, *w: fused_mlp_block_v7(
         xT, cls, *w)), (xT, cls) + mw)
     cases["spacemlp/v7"] = (chainT(lambda xT, cls, *w: fused_spacemlp_block_v7(

@@ -284,6 +284,28 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["timeattn"]["proj"]["bias"].astype(dtype),
                 num_frames=T, patches_per_frame=n_keep, num_heads=cfg.heads,
                 chunk=time_chunk, interpret=interpret)
+            if not need_tokens and i == cfg.layers - 1:
+                # CLS-only tail (row-major twin of the v7 tail above): the
+                # LAST block's per-frame space outputs and its MLP over the
+                # patch tokens are dead when only the pooled embedding is
+                # consumed — compute just the CLS global row
+                from tvts_tpu.ops.pallas_block_attention import (
+                    fused_space_cls_only_v2,
+                )
+
+                src = fused_space_cls_only_v2(
+                    time_residual, x[:, :1],
+                    bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                    bp["attn"]["qkv"]["kernel"].astype(dtype),
+                    bp["attn"]["qkv"]["bias"].astype(dtype),
+                    bp["attn"]["proj"]["kernel"].astype(dtype),
+                    bp["attn"]["proj"]["bias"].astype(dtype),
+                    num_frames=T, patches_per_frame=n_keep,
+                    num_heads=cfg.heads, interpret=interpret)
+                mp = {"c_fc": bp["mlp"]["c_fc"], "c_proj": bp["mlp"]["c_proj"]}
+                cls = src + _mlp(
+                    _layernorm(src, bp["ln_2"]).astype(dtype), mp, cfg.act)
+                return _pool(params, cfg, cls, dtype, need_tokens=False)
             space_residual = space_block(
                 time_residual, x,
                 bp["ln_1"]["scale"], bp["ln_1"]["bias"],

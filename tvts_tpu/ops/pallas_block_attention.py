@@ -2942,6 +2942,127 @@ def _make_space_cls_kernel_v7(H: int):
     return kernel
 
 
+def _make_space_cls_kernel_v2(H: int):
+    def kernel(x_ref, cls_ref, basecls_ref, ln_s_ref, ln_b_ref,
+               wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
+               ocls_ref, m_scr, l_scr, acc_scr):
+        """ROW-MAJOR CLS-only space sub-path (extraction tail for the v2/v4
+        tower, e.g. B/32's N=49 geometry where the d-major tower loses):
+        computes only the CLS global attention row (k/v of every frame +
+        per-head online softmax in scratch), skipping the per-frame
+        q/logits/probs@v/projection entirely. Grid (B, T)."""
+        D = x_ref.shape[3]
+        d = D // H
+        t = pl.program_id(1)
+        dtype = ocls_ref.dtype
+
+        layernorm = _ln_fn(ln_s_ref[0].astype(jnp.float32),
+                           ln_b_ref[0].astype(jnp.float32))
+        x_ln = layernorm(x_ref[0, 0]).astype(dtype)        # [N, D]
+        cls_ln = layernorm(cls_ref[0]).astype(dtype)       # [1, D]
+
+        bk = bk_ref[:].astype(jnp.float32)
+        bv = bv_ref[:].astype(jnp.float32)
+        scale = jnp.asarray(d, jnp.float32) ** -0.5
+        # only k/v needed for the patch rows (no per-frame queries)
+        k = jnp.dot(x_ln, wqkv_ref[:, D:2 * D],
+                    preferred_element_type=jnp.float32) + bk
+        v = jnp.dot(x_ln, wqkv_ref[:, 2 * D:],
+                    preferred_element_type=jnp.float32) + bv
+        qc = (jnp.dot(cls_ln, wqkv_ref[:, :D],
+                      preferred_element_type=jnp.float32)
+              + bq_ref[:].astype(jnp.float32))
+        kc = jnp.dot(cls_ln, wqkv_ref[:, D:2 * D],
+                     preferred_element_type=jnp.float32) + bk
+        vc = jnp.dot(cls_ln, wqkv_ref[:, 2 * D:],
+                     preferred_element_type=jnp.float32) + bv
+        q_cls = qc * scale
+
+        @pl.when(t == 0)
+        def _init():
+            for h in range(H):
+                sl = slice(h * d, (h + 1) * d)
+                m_scr[h] = jnp.sum(q_cls[0, sl] * kc[0, sl])
+                l_scr[h] = 1.0
+                acc_scr[h, :] = vc[0, sl]
+
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            lc = jnp.dot(k[:, sl], q_cls[:, sl].T,
+                         preferred_element_type=jnp.float32)       # [N, 1]
+            c_max = jnp.max(lc)
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old, c_max)
+            corr = jnp.exp(m_old - m_new)
+            p_c = jnp.exp(lc - m_new)                              # [N, 1]
+            m_scr[h] = m_new
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p_c)
+            pv = jnp.sum(v[:, sl] * p_c, axis=0)                   # [d]
+            acc_scr[h, :] = acc_scr[h, :] * corr + pv
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _finalize():
+            rows = [acc_scr[h:h + 1, :] / l_scr[h] for h in range(H)]
+            cls_att = jnp.concatenate(rows, axis=1)
+            projc = jnp.dot(cls_att.astype(dtype), wproj_ref[:],
+                            preferred_element_type=jnp.float32) \
+                + bproj_ref[:].astype(jnp.float32)
+            ocls_ref[0] = (basecls_ref[0].astype(jnp.float32)
+                           + projc).astype(dtype)
+
+    return kernel
+
+
+def fused_space_cls_only_v2(x, base_cls, ln_scale, ln_bias, wqkv, bqkv,
+                            wproj, bproj, num_frames: int,
+                            patches_per_frame: int, num_heads: int,
+                            interpret: bool = False):
+    """CLS-only space sub-path, ROW-major tower: x [B,S,D] (the time sub-path
+    output), base_cls [B,1,D] (the block input's CLS row — the space residual
+    branches from the block input). Returns ocls [B,1,D] == row 0 of
+    fused_space_attention_block_v2(x, base, ...), with the dead per-frame
+    outputs never computed. Used as the LAST-block tail when only the pooled
+    CLS embedding is consumed (reference extraction semantics,
+    v2/downstream/feature_extraction_TVTSv2_B_16.py consumes v_feat only)."""
+    B, S, D = x.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N
+    d = D // num_heads
+
+    x_cls = x[:, :1]
+    x_p = x[:, 1:].reshape(B, T, N, D)
+
+    frame_spec = pl.BlockSpec((1, 1, N, D), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((D, 3 * D), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wproj_spec = pl.BlockSpec((D, D), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    b3 = bqkv.reshape(3, D)
+    ocls = pl.pallas_call(
+        _make_space_cls_kernel_v2(num_heads),
+        grid=(B, T),
+        in_specs=[frame_spec, cls_spec, cls_spec, vec_spec, vec_spec,
+                  wqkv_spec, vec_spec, vec_spec, vec_spec, wproj_spec,
+                  vec_spec],
+        out_specs=cls_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.SMEM((num_heads,), jnp.float32),
+                        pltpu.VMEM((num_heads, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_p, x_cls, base_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
+    return ocls
+
+
 def fused_space_cls_only_v7(xT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv,
                             wproj, bproj, num_heads: int,
                             interpret: bool = False):
