@@ -69,8 +69,15 @@ def make_step(cfg, model, params, lr, steps_per_epoch):
     tx = make_optimizer(params, ocfg)
     from tvts_tpu.ops.fused_forward import make_fused_train_apply
 
+    # same env knobs as tools/train_bench.py so the measured-best config
+    # (TVTS_SPACE_MODE=pallas_v10 TVTS_SFPP=4 TVTS_TIME_MODE=pallas_tps)
+    # can be sustained-validated, not just single-step benched
     apply_fn = make_fused_train_apply(
-        model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep)
+        model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep,
+        space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
+        time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
+        scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
+        space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
     # donate=True: without donation the old+new optimizer states coexist and
     # B=32 fused OOMs on one v5e; the resume-continuity replay restores a
     # fresh state from disk, so no live reference to a donated buffer is kept
