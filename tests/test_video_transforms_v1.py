@@ -124,3 +124,87 @@ def test_create_random_augment_runs():
 def test_color_jitter_runs(clip):
     out = vt.color_jitter(clip, 0.4, 0.4, 0.4, rng=np.random.default_rng(3))
     assert out.shape == clip.shape and not np.allclose(out, clip)
+
+
+def test_rrc_and_interpolation_get_params_matches(ref):
+    """The crop-window sampler agrees with the reference's static
+    get_params distributionally: identical fallback (degenerate scale) and
+    in-range windows for the stochastic path."""
+    from PIL import Image
+
+    img = Image.fromarray(np.zeros((40, 60, 3), np.uint8))  # W=60, H=40
+    # degenerate ranges force the deterministic central fallback
+    i, j, h, w = ref.RandomResizedCropAndInterpolation.get_params(
+        img, scale=(4.0, 4.0), ratio=(1.0, 1.0))
+    ours = vt.RandomResizedCropAndInterpolation(
+        (8, 8), scale=(4.0, 4.0), ratio=(1.0, 1.0),
+        rng=np.random.default_rng(0))
+    i2, j2, h2, w2 = ours.get_params(60, 40, np.random.default_rng(0))
+    assert (i, j, h, w) == (i2, j2, h2, w2)
+
+    t = vt.RandomResizedCropAndInterpolation(
+        (16, 16), rng=np.random.default_rng(1))
+    for _ in range(50):
+        i, j, h, w = t.get_params(60, 40, np.random.default_rng(_))
+        assert 0 <= i <= 40 - h and 0 <= j <= 60 - w and h > 0 and w > 0
+
+
+def test_rrc_and_interpolation_call_shapes():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    t = vt.RandomResizedCropAndInterpolation((16, 24), rng=rng,
+                                             interpolation="random")
+    img = Image.fromarray((np.arange(40 * 60 * 3) % 255).astype(
+        np.uint8).reshape(40, 60, 3))
+    out = t(img)
+    assert out.size == (24, 16)  # PIL (W, H)
+    # clip form: list of PIL -> list, consistent window
+    outs = t([img, img, img])
+    assert len(outs) == 3
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[2]))
+    # uint8 array clip form
+    arr = np.stack([np.asarray(img)] * 2)
+    out_arr = t(arr)
+    assert out_arr.shape == (2, 16, 24, 3)
+    assert "RandomResizedCropAndInterpolation" in repr(t)
+
+
+@pytest.mark.parametrize("auto_augment", [None, "rand-m7-n2-mstd0.5-inc1"])
+def test_transforms_imagenet_train_pipeline(auto_augment):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    pipe = vt.transforms_imagenet_train(
+        img_size=32, auto_augment=auto_augment, re_prob=0.5, re_mode="pixel",
+        rng=rng)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (48, 56, 3)).astype(
+            np.uint8))
+    out = pipe(img)
+    assert out.shape == (3, 32, 32) and out.dtype == np.float32
+    # normalized output is roughly centered
+    assert abs(float(out.mean())) < 3.0
+    # clip input -> [T, C, H, W], spatially consistent primary stage
+    clip = [img, img]
+    out_clip = pipe(clip)
+    assert out_clip.shape == (2, 3, 32, 32)
+
+
+def test_transforms_imagenet_train_separate_stages():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    primary, secondary, final = vt.transforms_imagenet_train(
+        img_size=24, separate=True, rng=rng)
+    img = Image.fromarray(np.full((40, 40, 3), 128, np.uint8))
+    p = primary(img)
+    assert p.size == (24, 24)
+    s = secondary(p)
+    out = final(s)
+    assert out.shape == (3, 24, 24)
+
+
+def test_transforms_imagenet_train_rejects_unknown_aa():
+    with pytest.raises(NotImplementedError):
+        vt.transforms_imagenet_train(auto_augment="augmix-m3")

@@ -325,6 +325,182 @@ def random_sized_crop_img(im, size, jitter_scale=(0.08, 1.0),
     return _interp_resize(cropped, size, size)[0]
 
 
+_RANDOM_INTERPOLATION = ("bilinear", "bicubic")
+
+
+def _as_pil_clip(clip):
+    """Normalize input to (list[PIL], was_single, was_numpy)."""
+    import PIL
+    from PIL import Image
+
+    if isinstance(clip, PIL.Image.Image):
+        return [clip], True, False
+    if isinstance(clip, np.ndarray):
+        if clip.ndim == 3:  # [H, W, C]
+            return [Image.fromarray(clip)], True, True
+        return [Image.fromarray(f) for f in clip], False, True
+    return list(clip), False, False
+
+
+class RandomResizedCropAndInterpolation:
+    """Random-window crop + resize with (optionally random) interpolation
+    (reference :692-797, the timm/Inception-style train crop).
+
+    Accepts a single PIL image (the reference contract) or a clip
+    (list of PIL frames / [T, H, W, C] uint8) — one window and one
+    interpolation are sampled per call so a clip stays spatially consistent.
+    RNG injectable for testability.
+    """
+
+    def __init__(self, size, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                 interpolation="bilinear", rng=None):
+        self.size = size if isinstance(size, tuple) else (size, size)
+        if scale[0] > scale[1] or ratio[0] > ratio[1]:
+            raise ValueError("range should be of kind (min, max)")
+        self.scale = tuple(scale)
+        self.ratio = tuple(ratio)
+        self.interpolation = interpolation
+        self.rng = rng
+
+    def get_params(self, width, height, rng):
+        """Sample the (i, j, h, w) window (reference :726-766 — same
+        10-try rejection loop + clamped-aspect central fallback as
+        _get_param_spatial_crop in log-scale mode)."""
+        return _get_param_spatial_crop(self.scale, self.ratio, height, width,
+                                       rng, num_repeat=10, log_scale=True)
+
+    def __call__(self, clip):
+        from PIL import Image
+
+        rng = _rng(self.rng)
+        frames, single, was_np = _as_pil_clip(clip)
+        w, h = frames[0].size
+        i, j, ch, cw = self.get_params(w, h, rng)
+        interp = self.interpolation
+        if interp == "random":
+            interp = _RANDOM_INTERPOLATION[int(rng.integers(
+                0, len(_RANDOM_INTERPOLATION)))]
+        resample = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+                    "nearest": Image.NEAREST, "lanczos": Image.LANCZOS}[interp]
+        out = [f.resize((self.size[1], self.size[0]), resample,
+                        box=(j, i, j + cw, i + ch)) for f in frames]
+        if was_np:
+            out = [np.asarray(f) for f in out]
+            out = out[0] if single else np.stack(out)
+            return out
+        return out[0] if single else out
+
+    def __repr__(self):
+        return (f"{type(self).__name__}(size={self.size}, scale="
+                f"{tuple(round(s, 4) for s in self.scale)}, ratio="
+                f"{tuple(round(r, 4) for r in self.ratio)}, "
+                f"interpolation={self.interpolation})")
+
+
+def transforms_imagenet_train(img_size=224, scale=None, ratio=None,
+                              hflip=0.5, vflip=0.0, color_jitter=0.4,
+                              auto_augment=None, interpolation="random",
+                              mean=(0.485, 0.456, 0.406),
+                              std=(0.229, 0.224, 0.225), re_prob=0.0,
+                              re_mode="const", re_count=1, separate=False,
+                              rng=None):
+    """timm-style ImageNet train pipeline builder (reference :799-901).
+
+    Returns a callable mapping a PIL image / PIL clip list / [T, H, W, C]
+    uint8 clip to a normalized float32 [C, H, W] (single image) or
+    [T, C, H, W] (clip) array — primary (random resized crop + flips),
+    secondary (RandAugment when ``auto_augment`` is set, else ColorJitter),
+    final (to-tensor + normalize + optional RandomErasing). With
+    ``separate=True`` the three stages are returned as a tuple, as the
+    reference does for mixing datasets. All randomness is clip-consistent
+    and flows through the injectable ``rng``.
+    """
+    from tvts_tpu.data.clip_transforms import ClipToTensor
+    from tvts_tpu.data.clip_transforms import ColorJitter as ClipColorJitter
+    from tvts_tpu.downstream.randaug import rand_augment_transform
+    from tvts_tpu.downstream.random_erasing import RandomErasing
+
+    if isinstance(img_size, tuple):
+        img_size = img_size[-2:]
+    else:
+        img_size = (img_size, img_size)
+    scale = tuple(scale or (0.08, 1.0))
+    ratio = tuple(ratio or (3.0 / 4.0, 4.0 / 3.0))
+    the_rng = _rng(rng)
+
+    rrc = RandomResizedCropAndInterpolation(
+        img_size, scale=scale, ratio=ratio, interpolation=interpolation,
+        rng=the_rng)
+
+    def primary(clip):
+        clip = rrc(clip)
+        frames, single, was_np = _as_pil_clip(clip)
+        from PIL import Image
+
+        if hflip > 0.0 and the_rng.uniform() < hflip:
+            frames = [f.transpose(Image.FLIP_LEFT_RIGHT) for f in frames]
+        if vflip > 0.0 and the_rng.uniform() < vflip:
+            frames = [f.transpose(Image.FLIP_TOP_BOTTOM) for f in frames]
+        return frames[0] if single else frames
+
+    if auto_augment:
+        if not auto_augment.startswith("rand"):
+            raise NotImplementedError(
+                f"auto_augment scheme {auto_augment!r} not supported "
+                "(reference :858-862 likewise implements rand-* only)")
+        aa_params = {"translate_const": int(min(img_size) * 0.45),
+                     "img_mean": tuple(min(255, round(255 * x))
+                                       for x in mean)}
+        ra = rand_augment_transform(auto_augment, aa_params, rng=the_rng)
+
+        def secondary(clip):
+            frames, single, _ = _as_pil_clip(clip)
+            out = ra(frames)
+            return out[0] if single else out
+    elif color_jitter is not None:
+        cj_amount = (tuple(color_jitter) if isinstance(color_jitter,
+                                                       (list, tuple))
+                     else (float(color_jitter),) * 3)
+        cj = ClipColorJitter(*cj_amount)
+
+        def secondary(clip):
+            from PIL import Image
+
+            frames, single, _ = _as_pil_clip(clip)
+            # ClipColorJitter consumes [T, H, W, C] uint8 and returns the same
+            jittered = cj(np.stack([np.asarray(f, dtype=np.uint8)
+                                    for f in frames]))
+            out = [Image.fromarray(f) for f in jittered]
+            return out[0] if single else out
+    else:
+        def secondary(clip):
+            return clip
+
+    to_tensor = ClipToTensor()
+    mean_arr = np.asarray(mean, dtype=np.float32)
+    std_arr = np.asarray(std, dtype=np.float32)
+    eraser = (RandomErasing(re_prob, mode=re_mode, max_count=re_count,
+                            cube=False, rng=the_rng)
+              if re_prob > 0.0 else None)
+
+    def final(clip):
+        frames, single, _ = _as_pil_clip(clip)
+        x = to_tensor(np.stack([np.asarray(f, dtype=np.uint8)
+                                for f in frames]))
+        x = (x - mean_arr[None, :, None, None]) / std_arr[None, :, None, None]
+        if eraser is not None:
+            x = eraser(x)
+        return x[0] if single else x
+
+    if separate:
+        return primary, secondary, final
+
+    def pipeline(clip):
+        return final(secondary(primary(clip)))
+
+    return pipeline
+
+
 class ThreeCrop:
     """Three uniform crops along the long side (reference :1038-1084)."""
 
