@@ -153,7 +153,10 @@ def main():
                           writer=writer, visualizer=visualizer,
                           temperature=config.get("loss", {}).get("args", {})
                           .get("temperature", 0.05),
-                          epoch_loader=tcfg.get("epoch_loader"))
+                          epoch_loader=tcfg.get("epoch_loader"),
+                          profile_dir=tcfg.get("profile_dir"),
+                          profile_steps=tuple(tcfg.get("profile_steps",
+                                                       (10, 13))))
         if args.resume:
             trainer.resume()
         trainer.train()

@@ -85,7 +85,9 @@ class Trainer:
                  tokenize_fn=None, apply_fn=None,
                  save_every_steps: int | None = None, visualizer=None,
                  temperature: float = 0.05,
-                 epoch_loader: int | str | None = None):
+                 epoch_loader: int | str | None = None,
+                 profile_dir: str | None = None,
+                 profile_steps: tuple[int, int] = (10, 13)):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -107,6 +109,12 @@ class Trainer:
         # config (trainer.epoch_loader). None falls back to the reference's
         # implicit convention (the YT-Temporal loader, trainer.py:76-79).
         self.epoch_loader = epoch_loader
+        # timeline profiling (trainer.profile_dir config key): trace steps
+        # [start, stop) of the FIRST epoch into an XProf/TensorBoard profile
+        # dir. The reference has no profiler; utils/profiling.py documents the
+        # tunnel degradation.
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         # copy params into the state: train_step donates its input state, and the
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
@@ -199,7 +207,15 @@ class Trainer:
         totals = [0.0] * len(self.data_loaders)
         t0 = time.time()
 
+        prof = None
         for batch_idx in range(len_epoch):
+            if (self.profile_dir is not None
+                    and epoch == getattr(self, "start_epoch", 1)
+                    and batch_idx == self.profile_steps[0]):
+                from tvts_tpu.utils.profiling import trace
+
+                prof = trace(self.profile_dir)
+                prof.__enter__()
             for dl_idx in range(len(self.data_loaders)):
                 try:
                     raw = next(iters[dl_idx])
@@ -226,6 +242,11 @@ class Trainer:
                           f"Loss_ce: {float(aux['loss_ce']):.6f} "
                           f"steps/s: {(batch_idx + 1) / (time.time() - t0):.2f}",
                           flush=True)
+            if prof is not None and batch_idx + 1 >= self.profile_steps[1]:
+                prof.__exit__(None, None, None)
+                prof = None
+        if prof is not None:  # short epoch: close the trace regardless
+            prof.__exit__(None, None, None)
 
         return {f"loss_{i}": totals[i] / len_epoch for i in range(len(self.data_loaders))}
 
