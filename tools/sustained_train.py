@@ -28,21 +28,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvts_tpu.models import TVTSv2, tvtsv2_b_16
+from tvts_tpu.models import TVTSv2, tvtsv2_b_16  # noqa: F401 (B/16 default)
+from tvts_tpu.models.configs import MODEL_REGISTRY
 from tvts_tpu.models.factory import init_params
 from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
 from tvts_tpu.train.step import TrainState, create_train_state, make_train_step
 from tvts_tpu.utils.checkpoint import CheckpointManager
 
 
-def build_batches(cfg, B, n_batches, seed=0):
-    """n_batches distinct device-resident batches (fixed pool -> learnable)."""
+def build_batches(cfg, B, n_batches, seed=0, host_pool=False):
+    """n_batches distinct batches (fixed pool -> learnable). Device-resident
+    by default (no per-step transfer over the tunnel); ``host_pool`` keeps
+    them as host bf16 numpy and lets jit transfer per step — required at
+    H/14 geometry, where the fused B=8 train step leaves no HBM headroom
+    for a resident pool."""
+    import ml_dtypes
+
     v = cfg.vision
     rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_batches):
-        video = rng.normal(size=(B, v.num_frames, 3, 224, 224)) \
-            .astype(np.float32)
+        video = rng.normal(size=(B, v.num_frames, 3, v.input_resolution,
+                                 v.input_resolution)).astype(np.float32)
         ids = np.concatenate([
             np.full((cfg.num_clips * B, 1), 49406, np.int32),
             rng.integers(1, 49000, size=(cfg.num_clips * B, 75))
@@ -52,30 +59,34 @@ def build_batches(cfg, B, n_batches, seed=0):
                          for _ in range(B)]).astype(np.int32)
         labels = np.stack([rng.permutation(cfg.num_clips)
                            for _ in range(B)]).astype(np.int32)
-        batches.append({
-            # bf16 pool: the tower casts to bf16 at the stem anyway, and the
-            # f32 pool (+0.9 GB at B=32 x 8) tipped a near-full HBM over
-            "video": jax.device_put(jnp.asarray(video).astype(jnp.bfloat16)),
-            "text_ids": jax.device_put(jnp.asarray(ids)),
-            "keep_ind": jax.device_put(jnp.asarray(keep)),
-            "labels": jax.device_put(jnp.asarray(labels)),
-        })
+        # bf16 pool: the tower casts to bf16 at the stem anyway, and the
+        # f32 pool (+0.9 GB at B=32 x 8) tipped a near-full HBM over
+        batch = {"video": video.astype(ml_dtypes.bfloat16),
+                 "text_ids": ids, "keep_ind": keep, "labels": labels}
+        if not host_pool:
+            batch = {k: jax.device_put(jnp.asarray(a))
+                     for k, a in batch.items()}
+        batches.append(batch)
     return batches
 
 
-def make_step(cfg, model, params, lr, steps_per_epoch):
+def make_step(cfg, model, params, lr, steps_per_epoch, mu_dtype=None):
     ocfg = OptimizerConfig(lr_new=lr, schedule=(6, 8),
-                           steps_per_epoch=steps_per_epoch)
+                           steps_per_epoch=steps_per_epoch, mu_dtype=mu_dtype)
     tx = make_optimizer(params, ocfg)
     from tvts_tpu.ops.fused_forward import make_fused_train_apply
 
-    # same env knobs as tools/train_bench.py so the measured-best config
-    # (TVTS_SPACE_MODE=pallas_v10 TVTS_SFPP=4 TVTS_TIME_MODE=pallas_tps)
-    # can be sustained-validated, not just single-step benched
+    # same env knobs as tools/train_bench.py so the measured-best configs
+    # (B/16: TVTS_SPACE_MODE=pallas_v10 TVTS_SFPP=4 TVTS_TIME_MODE=pallas_tps;
+    # H/14: TVTS_SAVE_ACTS=0 TVTS_TIME_MODE=xla) can be sustained-validated,
+    # not just single-step benched
     apply_fn = make_fused_train_apply(
         model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep,
+        time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
+        mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
         space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
         time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
+        save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
         scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
         space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
     # donate=True: without donation the old+new optimizer states coexist and
@@ -114,16 +125,33 @@ def main():
     ap.add_argument("--resume_tail", type=int, default=50,
                     help="steps to replay from the checkpoint for continuity")
     ap.add_argument("--out", default="results/sustained_train")
+    ap.add_argument("--arch", default="TVTSv2_B_16",
+                    help="TVTSv2_B_16 / TVTSv2_B_32 / TVTSv2_H_14")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint per block (H/14 memory)")
+    ap.add_argument("--bf16_state", action="store_true",
+                    help="bf16 params + bf16 AdamW mu (H/14 on one chip)")
+    ap.add_argument("--host_pool", action="store_true",
+                    help="keep the batch pool on the host (H/14 HBM headroom)")
     args = ap.parse_args()
 
-    cfg = tvtsv2_b_16()
-    model = TVTSv2(cfg, dtype=jnp.bfloat16)
+    cfg = MODEL_REGISTRY[args.arch]()
+    model = TVTSv2(cfg, dtype=jnp.bfloat16, remat=args.remat)
     params = init_params(model, cfg)
-    tx, step_fn = make_step(cfg, model, params, args.lr, args.steps)
+    if args.bf16_state:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        print("bf16 params + bf16 AdamW mu")
+    tx, step_fn = make_step(
+        cfg, model, params, args.lr, args.steps,
+        mu_dtype="bfloat16" if args.bf16_state else None)
     state = create_train_state(params, tx)
-    batches = build_batches(cfg, args.batch_size, args.n_batches)
-    print(f"pool: {args.n_batches} x B={args.batch_size} device-resident "
-          f"batches; {args.steps} steps, checkpoint at {args.ckpt_at}")
+    batches = build_batches(cfg, args.batch_size, args.n_batches,
+                            host_pool=args.host_pool)
+    print(f"pool: {args.n_batches} x B={args.batch_size} "
+          f"{'host' if args.host_pool else 'device'}-resident batches; "
+          f"{args.steps} steps, checkpoint at {args.ckpt_at}")
 
     os.makedirs(args.out, exist_ok=True)
     ckpt = CheckpointManager(args.out, save_period=1)
@@ -137,10 +165,16 @@ def main():
     history = {**hist1, **hist2}
 
     # ---- resume-continuity: restore + replay the next resume_tail steps ----
-    # (the final state provides the target structure; its buffers are then
-    # donated away by the replay itself)
-    target = {"params": state.params, "opt_state": state.opt_state,
-              "step": state.step}
+    # abstract target: restoring against the live final state would hold TWO
+    # full states at once (~19 GB at H/14 bf16 — over one v5e's HBM), so the
+    # final state is dropped before orbax materializes the restored one
+    import gc
+
+    target = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                          {"params": state.params,
+                           "opt_state": state.opt_state, "step": state.step})
+    del state
+    gc.collect()
     restored = ckpt.restore(f"step{args.ckpt_at}", target)
     rstate = TrainState(step=restored["step"], params=restored["params"],
                         opt_state=restored["opt_state"])
