@@ -129,21 +129,18 @@ def main():
 
             visualizer = RetrievalVis(config["name"], str(config._web_log_dir))
         apply_fn = None
-        if args.fused_kernels:
+        if args.fused_kernels or tcfg.get("kernels", {}).get("fused"):
             from tvts_tpu.ops.fused_forward import make_fused_train_apply
+            from tvts_tpu.ops.kernel_config import resolve_kernel_config
 
-            # defaults = the measured-best memory-neutral config (PERF.md);
-            # the env knobs mirror tools/train_bench.py for tuning (e.g.
-            # TVTS_SPACE_MODE=pallas_v10 TVTS_TIME_MODE=pallas_tps where
-            # HBM allows the probs saves)
+            # kernel modes resolve config-first (trainer.kernels.* keys,
+            # per-arch preset tables in ops/kernel_config.py) with the
+            # TVTS_* env vars as sweep-time overrides
+            kcfg = resolve_kernel_config(arch, tcfg.get("kernels"))
             apply_fn = make_fused_train_apply(
                 model, cfg, num_frames=cfg.vision.num_frames,
-                n_keep=cfg.vision.n_keep,
-                space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
-                time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
-                scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
-                space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
-            print("fused Pallas train kernels enabled")
+                n_keep=cfg.vision.n_keep, **kcfg)
+            print(f"fused Pallas train kernels enabled: {kcfg}")
         trainer = Trainer(model, params, tx, loaders, val_loaders,
                           apply_fn=apply_fn,
                           epochs=tcfg.get("epochs", 10), mesh=mesh,

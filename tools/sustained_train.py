@@ -70,25 +70,23 @@ def build_batches(cfg, B, n_batches, seed=0, host_pool=False):
     return batches
 
 
-def make_step(cfg, model, params, lr, steps_per_epoch, mu_dtype=None):
+def make_step(cfg, model, params, lr, steps_per_epoch, mu_dtype=None,
+              arch="TVTSv2_B_16"):
     ocfg = OptimizerConfig(lr_new=lr, schedule=(6, 8),
                            steps_per_epoch=steps_per_epoch, mu_dtype=mu_dtype)
     tx = make_optimizer(params, ocfg)
     from tvts_tpu.ops.fused_forward import make_fused_train_apply
+    from tvts_tpu.ops.kernel_config import resolve_kernel_config
 
-    # same env knobs as tools/train_bench.py so the measured-best configs
-    # (B/16: TVTS_SPACE_MODE=pallas_v10 TVTS_SFPP=4 TVTS_TIME_MODE=pallas_tps;
-    # H/14: TVTS_SAVE_ACTS=0 TVTS_TIME_MODE=xla) can be sustained-validated,
-    # not just single-step benched
+    # per-arch defaults + the same TVTS_* env overrides as train_bench so the
+    # measured-best configs (TVTS_KERNEL_PRESET=best) can be
+    # sustained-validated, not just single-step benched
+    kcfg = resolve_kernel_config(
+        arch, {"preset": os.environ.get("TVTS_KERNEL_PRESET", "default")})
+    print(f"kernel config: {kcfg}")
     apply_fn = make_fused_train_apply(
         model, cfg, num_frames=cfg.vision.num_frames, n_keep=cfg.vision.n_keep,
-        time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
-        mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
-        space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
-        time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
-        save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
-        scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
-        space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
+        **kcfg)
     # donate=True: without donation the old+new optimizer states coexist and
     # B=32 fused OOMs on one v5e; the resume-continuity replay restores a
     # fresh state from disk, so no live reference to a donated buffer is kept
@@ -145,7 +143,7 @@ def main():
         print("bf16 params + bf16 AdamW mu")
     tx, step_fn = make_step(
         cfg, model, params, args.lr, args.steps,
-        mu_dtype="bfloat16" if args.bf16_state else None)
+        mu_dtype="bfloat16" if args.bf16_state else None, arch=args.arch)
     state = create_train_state(params, tx)
     batches = build_batches(cfg, args.batch_size, args.n_batches,
                             host_pool=args.host_pool)

@@ -84,22 +84,16 @@ def main():
     apply_fn = None
     if os.environ.get("TVTS_TPU_TRAIN_FUSED", "0") == "1":
         from tvts_tpu.ops.fused_forward import make_fused_train_apply
+        from tvts_tpu.ops.kernel_config import resolve_kernel_config
 
+        # per-arch defaults from the PERF.md decision tables; TVTS_* env
+        # vars override (preset via TVTS_KERNEL_PRESET=default|best)
+        kcfg = resolve_kernel_config(
+            args.arch,
+            {"preset": os.environ.get("TVTS_KERNEL_PRESET", "default")})
         apply_fn = make_fused_train_apply(
-            model, cfg, num_frames=v.num_frames, n_keep=v.n_keep,
-            time_chunk=int(os.environ.get("TVTS_TIME_CHUNK", "128")),
-            mlp_mode=os.environ.get("TVTS_MLP_MODE", "xla"),
-            space_mode=os.environ.get("TVTS_SPACE_MODE", "pallas_v10r"),
-            time_mode=os.environ.get("TVTS_TIME_MODE", "pallas"),
-            save_acts=os.environ.get("TVTS_SAVE_ACTS", "1") == "1",
-            scan_blocks=os.environ.get("TVTS_SCAN", "0") == "1",
-            layout=os.environ.get("TVTS_LAYOUT", "row"),
-            space_fpp=int(os.environ.get("TVTS_SFPP", "0")) or None)
-        print("fused train path (Pallas fwd+bwd megakernels)"
-              + (" [scan-over-blocks]"
-                 if os.environ.get("TVTS_SCAN", "0") == "1" else "")
-              + (" [d-major tower]"
-                 if os.environ.get("TVTS_LAYOUT", "row") == "dmajor" else ""))
+            model, cfg, num_frames=v.num_frames, n_keep=v.n_keep, **kcfg)
+        print(f"fused train path (Pallas fwd+bwd megakernels): {kcfg}")
     step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
 
     t0 = time.perf_counter()

@@ -151,22 +151,31 @@ class ColorJitter:
     """Brightness/contrast/saturation/hue jitter, one sampled factor set per clip
     (reference video_transform.py:461-543)."""
 
-    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0,
+                 rng=None):
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
         self.hue = hue
+        # Optional numpy Generator; module-level stdlib random otherwise
+        # (keeps determinism when a caller injects its own rng).
+        self.rng = rng
+
+    def _uniform(self, lo, hi):
+        if self.rng is not None:
+            return float(self.rng.uniform(lo, hi))
+        return _random.uniform(lo, hi)
 
     def _factor(self, amount):
         if amount <= 0:
             return None
-        return _random.uniform(max(0.0, 1 - amount), 1 + amount)
+        return self._uniform(max(0.0, 1 - amount), 1 + amount)
 
     def __call__(self, clip):
         b = self._factor(self.brightness)
         c = self._factor(self.contrast)
         s = self._factor(self.saturation)
-        h = _random.uniform(-self.hue, self.hue) if self.hue > 0 else None
+        h = self._uniform(-self.hue, self.hue) if self.hue > 0 else None
         out = []
         for img in _pil_frames(clip):
             if b is not None:

@@ -451,6 +451,8 @@ def transforms_imagenet_train(img_size=224, scale=None, ratio=None,
         aa_params = {"translate_const": int(min(img_size) * 0.45),
                      "img_mean": tuple(min(255, round(255 * x))
                                        for x in mean)}
+        if interpolation and interpolation != "random":
+            aa_params["interpolation"] = interpolation
         ra = rand_augment_transform(auto_augment, aa_params, rng=the_rng)
 
         def secondary(clip):
@@ -461,7 +463,7 @@ def transforms_imagenet_train(img_size=224, scale=None, ratio=None,
         cj_amount = (tuple(color_jitter) if isinstance(color_jitter,
                                                        (list, tuple))
                      else (float(color_jitter),) * 3)
-        cj = ClipColorJitter(*cj_amount)
+        cj = ClipColorJitter(*cj_amount, rng=the_rng)
 
         def secondary(clip):
             from PIL import Image

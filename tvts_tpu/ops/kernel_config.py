@@ -1,0 +1,90 @@
+"""Fused-kernel mode resolution: config keys + env overrides + per-arch tables.
+
+The reference drives every training knob through its JSON config
+(/root/reference/v2/parse_config_dist_multi.py:73-98); round-3 left the
+Pallas kernel modes env-var-only, so a config file could not reproduce the
+measured-best run. This module makes `trainer.kernels.*` first-class config
+keys while keeping the TVTS_* env vars as the highest-priority override
+(handy for sweeps — tools/train_bench.py uses them).
+
+Resolution order (highest wins):
+    1. TVTS_* environment variables
+    2. explicit keys in the config's ``trainer.kernels`` section
+    3. the per-arch preset table (``preset`` key: "default" or "best")
+
+Per-arch tables (PERF.md decision tables, round 3):
+
+    arch         preset    space_mode   sfpp  time_mode   save  notes
+    -----------  --------  -----------  ----  ----------  ----  -------------------------
+    TVTSv2_B_16  default   pallas_v10r  3     pallas      yes   memory-neutral, 90.5 c/s
+    TVTSv2_B_16  best      pallas_v10   4     pallas_tps  yes   96.8 c/s @ B=20 (+~1 GB HBM probs saves)
+    TVTSv2_B_32  default   pallas_v2    -     pallas      yes   N=49 lanes pad d-major; row v2 wins
+    TVTSv2_B_32  best      pallas_v2    -     pallas      yes   same (no probs-save win measured yet)
+    TVTSv2_H_14  default   pallas       -     xla         no    v2 time bwd exceeds VMEM at D=1280
+    TVTSv2_H_14  best      pallas       -     xla         no    same (fused space hybrid, 12.08 c/s)
+"""
+
+from __future__ import annotations
+
+import os
+
+# kwargs accepted by ops.fused_forward.make_fused_train_apply, with the
+# config-key spelling (sfpp/scan) and the TVTS_* env override for each.
+_KEYS = (
+    # (kwarg,        config key,   env var,           parse)
+    ("space_mode", "space_mode", "TVTS_SPACE_MODE", str),
+    ("time_mode", "time_mode", "TVTS_TIME_MODE", str),
+    ("mlp_mode", "mlp_mode", "TVTS_MLP_MODE", str),
+    ("layout", "layout", "TVTS_LAYOUT", str),
+    ("space_fpp", "sfpp", "TVTS_SFPP", lambda s: int(s) or None),
+    ("time_chunk", "time_chunk", "TVTS_TIME_CHUNK", int),
+    ("save_acts", "save_acts", "TVTS_SAVE_ACTS", lambda s: s == "1"),
+    ("scan_blocks", "scan", "TVTS_SCAN", lambda s: s == "1"),
+)
+
+_BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
+             layout="row", space_fpp=None, time_chunk=128, save_acts=True,
+             scan_blocks=False)
+
+# Memory-neutral defaults (safe at any measured batch).
+KERNEL_DEFAULTS = {
+    "TVTSv2_B_16": dict(_BASE),
+    "TVTSv2_B_32": dict(_BASE, space_mode="pallas_v2", time_chunk=64),
+    "TVTSv2_H_14": dict(_BASE, time_mode="xla", save_acts=False),
+}
+
+# Measured-best (PERF.md): may spend HBM on probs saves.
+KERNEL_BEST = {
+    "TVTSv2_B_16": dict(_BASE, space_mode="pallas_v10", space_fpp=4,
+                        time_mode="pallas_tps"),
+    "TVTSv2_B_32": dict(_BASE, space_mode="pallas_v2", time_chunk=64),
+    "TVTSv2_H_14": dict(_BASE, time_mode="xla", save_acts=False),
+}
+
+
+def resolve_kernel_config(arch: str, kernels_cfg: dict | None = None,
+                          env: dict | None = None) -> dict:
+    """Resolve the fused-kernel kwargs for ``arch``.
+
+    ``kernels_cfg`` is the config's ``trainer.kernels`` section (may be
+    None); ``env`` defaults to ``os.environ``. Returns kwargs for
+    ``make_fused_train_apply`` (space_mode/time_mode/mlp_mode/layout/
+    space_fpp/time_chunk/save_acts/scan_blocks).
+    """
+    env = os.environ if env is None else env
+    kernels_cfg = kernels_cfg or {}
+    preset = kernels_cfg.get("preset", "default")
+    if preset not in ("default", "best"):
+        raise ValueError(f"trainer.kernels.preset must be 'default' or "
+                         f"'best', got {preset!r}")
+    table = KERNEL_BEST if preset == "best" else KERNEL_DEFAULTS
+    out = dict(table.get(arch, _BASE))
+    for kwarg, cfg_key, env_var, parse in _KEYS:
+        if cfg_key in kernels_cfg:
+            val = kernels_cfg[cfg_key]
+            out[kwarg] = parse(str(val)) if isinstance(val, str) else val
+            if kwarg == "space_fpp" and val in (0, "0"):
+                out[kwarg] = None
+        if env_var in env:
+            out[kwarg] = parse(env[env_var])
+    return out

@@ -208,45 +208,47 @@ class Trainer:
         t0 = time.time()
 
         prof = None
-        for batch_idx in range(len_epoch):
-            if (self.profile_dir is not None
-                    and epoch == getattr(self, "start_epoch", 1)
-                    and batch_idx == self.profile_steps[0]):
-                from tvts_tpu.utils.profiling import trace
+        try:
+            for batch_idx in range(len_epoch):
+                if (self.profile_dir is not None
+                        and epoch == getattr(self, "start_epoch", 1)
+                        and batch_idx == self.profile_steps[0]):
+                    from tvts_tpu.utils.profiling import trace
 
-                prof = trace(self.profile_dir)
-                prof.__enter__()
-            for dl_idx in range(len(self.data_loaders)):
-                try:
-                    raw = next(iters[dl_idx])
-                except StopIteration:
-                    iters[dl_idx] = iter(self.data_loaders[dl_idx])
-                    raw = next(iters[dl_idx])
-                batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
-                self.state, aux = self.train_step(self.state, batch)
-                if (self.save_every_steps and
-                        int(self.state.step) % self.save_every_steps == 0
-                        and self.ckpt is not None):
-                    self.ckpt.save_step(
-                        int(self.state.step),
-                        {"params": self.state.params,
-                         "opt_state": self.state.opt_state,
-                         "step": self.state.step})
-                loss = float(aux["loss"])
-                totals[dl_idx] += loss
-                if self.writer is not None:
-                    self.writer(f"loss_train_{dl_idx}", loss, int(self.state.step))
-                if batch_idx % self.log_step == 0:
-                    print(f"Train Epoch: {epoch} dl{dl_idx} [{batch_idx}/{len_epoch}] "
-                          f"Loss_ct: {float(aux['loss_ct']):.6f} "
-                          f"Loss_ce: {float(aux['loss_ce']):.6f} "
-                          f"steps/s: {(batch_idx + 1) / (time.time() - t0):.2f}",
-                          flush=True)
-            if prof is not None and batch_idx + 1 >= self.profile_steps[1]:
+                    prof = trace(self.profile_dir)
+                    prof.__enter__()
+                for dl_idx in range(len(self.data_loaders)):
+                    try:
+                        raw = next(iters[dl_idx])
+                    except StopIteration:
+                        iters[dl_idx] = iter(self.data_loaders[dl_idx])
+                        raw = next(iters[dl_idx])
+                    batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
+                    self.state, aux = self.train_step(self.state, batch)
+                    if (self.save_every_steps and
+                            int(self.state.step) % self.save_every_steps == 0
+                            and self.ckpt is not None):
+                        self.ckpt.save_step(
+                            int(self.state.step),
+                            {"params": self.state.params,
+                             "opt_state": self.state.opt_state,
+                             "step": self.state.step})
+                    loss = float(aux["loss"])
+                    totals[dl_idx] += loss
+                    if self.writer is not None:
+                        self.writer(f"loss_train_{dl_idx}", loss, int(self.state.step))
+                    if batch_idx % self.log_step == 0:
+                        print(f"Train Epoch: {epoch} dl{dl_idx} [{batch_idx}/{len_epoch}] "
+                              f"Loss_ct: {float(aux['loss_ct']):.6f} "
+                              f"Loss_ce: {float(aux['loss_ce']):.6f} "
+                              f"steps/s: {(batch_idx + 1) / (time.time() - t0):.2f}",
+                              flush=True)
+                if prof is not None and batch_idx + 1 >= self.profile_steps[1]:
+                    prof.__exit__(None, None, None)
+                    prof = None
+        finally:
+            if prof is not None:  # short epoch or mid-epoch failure: close the trace
                 prof.__exit__(None, None, None)
-                prof = None
-        if prof is not None:  # short epoch: close the trace regardless
-            prof.__exit__(None, None, None)
 
         return {f"loss_{i}": totals[i] / len_epoch for i in range(len(self.data_loaders))}
 

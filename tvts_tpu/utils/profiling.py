@@ -68,8 +68,7 @@ def trace_artifacts(log_dir: str) -> list[str]:
 class StepTimer:
     """Result-fetching step timer: per-step wall times with a warmup skip.
 
-    Use ``with timer.step(aux):`` around nothing — or simpler, call
-    ``timer.mark(aux)`` once per step with a device value from that step;
+    Call ``timer.mark(aux)`` once per step with a device value from that step;
     fetching it (``float``) forces the step to completion before the clock
     reads, which a bare ``block_until_ready`` does not guarantee on
     tunneled backends (PERF.md round-1 gotcha).
