@@ -255,3 +255,90 @@ def _flatten(tree: dict, prefix: tuple[str, ...] = ()):
             yield from _flatten(v, prefix + (k,))
         else:
             yield prefix + (k,), v
+
+
+# ---------------------------------------------------------------------------
+# Flax -> torch EXPORT (the inverse bridge): emits a state_dict the
+# reference's own loaders accept, so a TPU-trained model can be validated on
+# GPUs with zero code from this repo. Counterparts:
+#   - `module.`-prefix handling: /root/reference/v2/utils/util.py:25-51
+#     (state_dict_data_parallel_fix strips/adds it either way)
+#   - checkpoint dict format: /root/reference/v2/base/base_trainer.py:165-189
+#   - downstream subtree extraction (`module.video_model.*`):
+#     /root/reference/v1/downstream/run_class_finetuning.py:336-341
+# ---------------------------------------------------------------------------
+
+# flat-name renames, applied in order AFTER leaf conversion (inverse of the
+# `_convert_key` renames; scoped so tower-local naming quirks don't leak:
+# only the CLIP/OpenCLIP text towers use fused nn.MultiheadAttention, only
+# the sort head names its MLP fc1/fc2)
+_EXPORT_RENAMES = (
+    (r"^text_model\.token_embedding\.weight$", "text_token_embedding.weight"),
+    (r"^text_model\.positional_embedding$", "text_positional_embedding"),
+    (r"^text_model\.ln_final\.", "text_ln_final."),
+    (r"^text_model\.text_projection$", "text_projection"),
+    (r"^text_model\.blocks_(\d+)\.", r"text_model.resblocks.\1."),
+    (r"^video_model\.blocks_(\d+)\.", r"video_model.transformer.resblocks.\1."),
+    (r"^pred_model\.blocks_(\d+)\.", r"pred_model.blocks.\1."),
+    (r"^(pred_model\..*)\.mlp\.c_fc\.", r"\1.mlp.fc1."),
+    (r"^(pred_model\..*)\.mlp\.c_proj\.", r"\1.mlp.fc2."),
+    (r"^(text_model\..*)\.attn\.qkv\.weight$", r"\1.attn.in_proj_weight"),
+    (r"^(text_model\..*)\.attn\.qkv\.bias$", r"\1.attn.in_proj_bias"),
+    (r"^(text_model\..*)\.attn\.proj\.", r"\1.attn.out_proj."),
+    # H/14 AttentionalPooler (separate q/k/v MultiheadAttention)
+    (r"\.attn_pool\.([qkv])_proj\.weight$", r".attn_pool.attn.\1_proj_weight"),
+    (r"\.attn_pool\.qkv_bias$", ".attn_pool.attn.in_proj_bias"),
+    (r"\.attn_pool\.proj\.", ".attn_pool.attn.out_proj."),
+)
+
+
+def export_state_dict(params: dict, ddp_prefix: bool = True
+                      ) -> dict[str, np.ndarray]:
+    """Flax TVTSv2 param tree -> torch state_dict (numpy values, float32).
+
+    Inverse of `convert_state_dict`: kernels transpose back ([in,out] ->
+    [out,in]; convs to [out,in,(kt,)kh,kw]), LayerNorm scale -> weight,
+    embeddings -> .weight, the text towers' qkv -> in_proj_*. With
+    ``ddp_prefix`` keys are `module.`-prefixed like the reference's own
+    DDP-trained checkpoints (its loader strips the prefix when needed).
+    Deterministic buffers the torch modules rebuild in __init__ (attn_mask)
+    are not parameters and are not emitted."""
+    out: dict[str, np.ndarray] = {}
+    for path, arr in _flatten(params):
+        arr = np.asarray(arr)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float32)
+        leaf = path[-1]
+        if leaf == "kernel":
+            if arr.ndim == 5:    # [kt,kh,kw,in,out] -> [out,in,kt,kh,kw]
+                arr = arr.transpose(4, 3, 0, 1, 2)
+            elif arr.ndim == 4:  # [kh,kw,in,out] -> [out,in,kh,kw]
+                arr = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 2:
+                arr = arr.T
+            name = ".".join(path[:-1]) + ".weight"
+        elif leaf in ("scale", "embedding"):
+            name = ".".join(path[:-1]) + ".weight"
+        else:  # bias and direct nn.Parameter leaves keep their names
+            name = ".".join(path)
+        for pat, repl in _EXPORT_RENAMES:
+            name = re.sub(pat, repl, name)
+        if ddp_prefix:
+            name = "module." + name
+        out[name] = arr
+    return out
+
+
+def save_reference_checkpoint(params: dict, path: str, arch: str,
+                              epoch: int = 0, config: dict | None = None,
+                              monitor_best: float = 0.0):
+    """Write a `.pth` in the reference trainer's checkpoint format
+    (base_trainer.py:165-189): {'arch', 'epoch', 'state_dict' (DDP-prefixed),
+    'optimizer' (empty), 'monitor_best', 'config'} — loadable by the
+    reference's _resume_checkpoint / downstream eval scripts."""
+    import torch
+
+    sd = {k: torch.from_numpy(v) for k, v in export_state_dict(params).items()}
+    torch.save({"arch": arch, "epoch": epoch, "state_dict": sd,
+                "optimizer": {}, "monitor_best": monitor_best,
+                "config": config or {}}, path)
