@@ -202,6 +202,7 @@ def main():
         if filt and not any(f in name for f in filt.split(",")):
             continue
         try:
+            run = jax.jit(run)
             out = run(*args)
             float(jnp.sum(out))
         except Exception as e:

@@ -670,10 +670,28 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            time_mode: str = "pallas", save_acts: bool = True,
                            scan_blocks: bool = False, layout: str = "row",
                            space_fpp: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
     tower runs the fused differentiable forward; text + sort head run through
-    the flax module (cheap). Mirrors TVTSv2.__call__ (models/tvts_v2.py)."""
+    the flax module (cheap). Mirrors TVTSv2.__call__ (models/tvts_v2.py).
+
+    Sharding contract (VERDICT r3 #3): a pallas_call is opaque to GSPMD, so
+    under a mesh the fused tower must be explicitly partitioned. Pass
+    ``mesh`` (+ the batch ``data_axes``) and the tower runs inside a
+    jax.shard_map over those axes: video/keep_ind split on batch (the
+    kernels' grid-over-B runs per shard, so the per-shard batch — B divided
+    by the product of data axes — must be >= 1), params replicated into each
+    shard (fsdp-sharded params are all-gathered at the shard_map boundary
+    and their cotangents reduce-scattered back, which IS the fsdp
+    gather-for-compute semantics), and AD through shard_map psums the
+    replicated params' grads across shards — reproducing the XLA path's
+    DDP-grad-allreduce contract (reference v2/trainer/trainer.py:41-57).
+    Text tower + sort head + the global sim-matrix loss stay OUTSIDE the
+    shard_map in plain GSPMD jit, so the contrastive all_gather semantics
+    are unchanged. sp/tp axes are NOT supported through the kernel
+    boundary — token/head sharding inside a pallas program needs the XLA
+    path (the kernels assume whole [N, D] tiles per program)."""
     tower_fwd = make_fused_train_forward(cfg.vision, num_frames, n_keep,
                                          dtype=dtype, time_chunk=time_chunk,
                                          mlp_mode=mlp_mode,
@@ -684,6 +702,29 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          layout=layout,
                                          space_fpp=space_fpp,
                                          interpret=interpret)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(a for a in data_axes if a in mesh.axis_names
+                     and mesh.shape[a] > 1) or None
+        if axes is not None:
+            batch_spec = P(axes)
+            inner_fwd = tower_fwd
+            with_keep = jax.shard_map(
+                inner_fwd, mesh=mesh,
+                in_specs=(P(), batch_spec, batch_spec),
+                out_specs=(batch_spec, batch_spec),
+                check_vma=False)
+            no_keep = jax.shard_map(
+                lambda p, v: inner_fwd(p, v, None), mesh=mesh,
+                in_specs=(P(), batch_spec),
+                out_specs=(batch_spec, batch_spec),
+                check_vma=False)
+
+            def tower_fwd(vparams, video, keep_ind):  # noqa: F811
+                if keep_ind is None:
+                    return no_keep(vparams, video)
+                return with_keep(vparams, video, keep_ind)
 
     def apply(params, batch):
         video, text_ids = batch["video"], batch["text_ids"]
