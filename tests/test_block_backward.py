@@ -10,6 +10,8 @@ from tvts_tpu.ops.fused_forward import _layernorm, _var_attention_xla
 from tvts_tpu.ops.pallas_block_attention import make_mlp_subpath
 from tvts_tpu.ops.pallas_block_backward import make_space_subpath
 
+pytestmark = pytest.mark.kernels
+
 ARGNAMES_SPACE = ["dx", "dbase", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
 
 

@@ -10,6 +10,8 @@ from tvts_tpu.models.configs import VisionConfig
 from tvts_tpu.models.space_time_vit import SpaceTimeViT
 from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
 
+pytestmark = pytest.mark.kernels
+
 
 @pytest.mark.parametrize("version", [1, 2])
 def test_fused_forward_matches_module(version):

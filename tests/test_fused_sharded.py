@@ -22,6 +22,8 @@ from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
 from tvts_tpu.train.step import (create_train_state, make_loss_fn,
                                  make_train_step)
 
+pytestmark = pytest.mark.kernels
+
 
 def _setup(B=8):
     cfg = tiny_config("openai")
