@@ -76,10 +76,14 @@ def main():
             _layernorm(x, {"scale": ln_s, "bias": ln_b}), p, T, N, "time", H)
 
     cases = {"xla+remat": time_xla}
+    vmem = int(os.environ.get("TVTS_VMEM_MB", "120"))
     for chunk in (64, 32, 16):
         for sa in (True, False):
-            cases[f"pallas c{chunk} sa{int(sa)}"] = make_time_subpath(
-                T, N, H, chunk=chunk, save_acts=sa)
+            cases[f"pallas c{chunk} sa{int(sa)} v{vmem}"] = make_time_subpath(
+                T, N, H, chunk=chunk, save_acts=sa, vmem_limit_mb=vmem)
+    cases["pallas c16 sa0 tps v{}".format(vmem)] = make_time_subpath(
+        T, N, H, chunk=16, save_acts=True, save_probs=True,
+        vmem_limit_mb=vmem)
     only = os.environ.get("CASES")
     if only:
         keys = [k.strip() for k in only.split(",")]

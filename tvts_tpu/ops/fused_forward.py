@@ -403,6 +403,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              scan_blocks: bool = False,
                              layout: str = "row",
                              space_fpp: int | None = None,
+                             time_vmem_mb: int = 100,
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -477,6 +478,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         time_f = make_time_subpath(num_frames, n_keep, cfg.heads,
                                    chunk=time_chunk, save_acts=save_acts,
                                    save_probs=time_mode == "pallas_tps",
+                                   vmem_limit_mb=time_vmem_mb,
                                    interpret=interpret)
     if not save_acts and space_mode in ("pallas", "pallas_ps",
                                         "pallas_v10", "pallas_v10r"):
@@ -670,6 +672,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            time_mode: str = "pallas", save_acts: bool = True,
                            scan_blocks: bool = False, layout: str = "row",
                            space_fpp: int | None = None,
+                           time_vmem_mb: int = 100,
                            interpret: bool = False,
                            mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
@@ -701,6 +704,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          scan_blocks=scan_blocks,
                                          layout=layout,
                                          space_fpp=space_fpp,
+                                         time_vmem_mb=time_vmem_mb,
                                          interpret=interpret)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P

@@ -20,8 +20,13 @@ Per-arch tables (PERF.md decision tables, round 3):
     TVTSv2_B_16  best      pallas_v10   4     pallas_tps  yes   96.8 c/s @ B=20 (+~1 GB HBM probs saves)
     TVTSv2_B_32  default   pallas_v2    -     pallas      yes   N=49 lanes pad d-major; row v2 wins
     TVTSv2_B_32  best      pallas_v2    -     pallas      yes   same (no probs-save win measured yet)
-    TVTSv2_H_14  default   pallas       -     xla         no    v2 time bwd exceeds VMEM at D=1280
+    TVTSv2_H_14  default   pallas       -     xla         no    fused time MEASURED slower at D=1280 (PERF r4)
     TVTSv2_H_14  best      pallas       -     xla         no    same (fused space hybrid, 12.08 c/s)
+
+Round 4 note: the v2 time backward now FITS at D=1280 (time_vmem_mb=120,
+time_chunk<=32 — the 100 MB ceiling was a soft compiler budget), but it
+measures 63.8 ms vs 57.5 for xla+remat per 8-chain (tools/h14_time_probe.py),
+so H/14 keeps time_mode="xla" on the merits, not on a compile blocker.
 """
 
 from __future__ import annotations
@@ -40,11 +45,12 @@ _KEYS = (
     ("time_chunk", "time_chunk", "TVTS_TIME_CHUNK", int),
     ("save_acts", "save_acts", "TVTS_SAVE_ACTS", lambda s: s == "1"),
     ("scan_blocks", "scan", "TVTS_SCAN", lambda s: s == "1"),
+    ("time_vmem_mb", "time_vmem_mb", "TVTS_TIME_VMEM_MB", int),
 )
 
 _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
              layout="row", space_fpp=None, time_chunk=128, save_acts=True,
-             scan_blocks=False)
+             scan_blocks=False, time_vmem_mb=100)
 
 # Memory-neutral defaults (safe at any measured batch).
 KERNEL_DEFAULTS = {

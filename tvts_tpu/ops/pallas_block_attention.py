@@ -18,10 +18,23 @@ Space mode grid: (B, T) — one frame's [N, D] tokens per program.
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Scoped-VMEM ceiling handed to the Mosaic pipeliner. 100 MB is a soft
+# compiler budget, not the v5e's 128 MB physical VMEM (measured round 4: the
+# H/14 time backward compiles and runs at 120). Kernels with a measured need
+# pass an explicit override; TVTS_VMEM_MB sweeps the default for experiments.
+VMEM_LIMIT_MB = int(os.environ.get("TVTS_VMEM_MB", "100"))
+
+
+def _compiler_params(mb: int | None = None) -> pltpu.CompilerParams:
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=(mb or VMEM_LIMIT_MB) * 1024 * 1024)
 
 
 def _make_space_block_kernel(H: int, FPP: int = 1):
@@ -589,6 +602,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   save_acts: bool = False,
                                   save_transposed: bool = False,
                                   save_probs: bool = False,
+                                  vmem_limit_mb: int = 100,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
@@ -662,8 +676,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
         scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.VMEM((num_heads, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(vmem_limit_mb),
         interpret=interpret,
     )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
@@ -855,8 +868,7 @@ def fused_space_attention_block_v2(x, base, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.VMEM((num_heads, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
       ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
@@ -990,8 +1002,7 @@ def fused_mlp_block_bwd(g, x, ln_scale, ln_bias, wfc, bfc, wproj,
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x, g, ln_scale.reshape(1, D), ln_bias.reshape(1, D), wfc,
       bfc.reshape(1, hidden), wproj)
@@ -1240,8 +1251,7 @@ def fused_space_attention_block_v3(x, base, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.VMEM((num_heads, 1), jnp.float32),
                         pltpu.VMEM((num_heads, 1), jnp.float32),
                         pltpu.VMEM((num_heads, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(D, 1),
       ln_bias.reshape(D, 1), wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
@@ -1423,8 +1433,7 @@ def fused_time_attention_block_v4(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
@@ -1650,8 +1659,7 @@ def fused_space_attention_block_v5(x, base, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.SMEM((H,), jnp.float32),
                         pltpu.SMEM((H,), jnp.float32),
                         pltpu.VMEM((H, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(1, D),
       ln_bias.reshape(1, D), wqkv, b3[0:1], b3[1:2], b3[2:3], wproj,
@@ -2061,8 +2069,7 @@ def fused_space_attention_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
@@ -2215,8 +2222,7 @@ def fused_spacemlp_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
@@ -2398,8 +2404,7 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
@@ -2491,8 +2496,7 @@ def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
                   hvecT_spec, wprT_spec, vecT_spec],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1), wfc.T,
       bfc.reshape(hidden, 1), wproj.T, bproj.reshape(D, 1))
@@ -2549,8 +2553,7 @@ def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
         out_specs=(clip_spec, cls_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
                    jax.ShapeDtypeStruct((B, 1, D), x.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=_compiler_params(110),
         interpret=interpret,
     )(x_p, x_cls,
       bp["ln_3"]["scale"].reshape(1, D), bp["ln_3"]["bias"].reshape(1, D),
@@ -2777,8 +2780,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, baseT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),
@@ -2866,8 +2868,7 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, base_p, x_cls, base_cls, ln_scale.reshape(D, 1),
       ln_bias.reshape(D, 1), wqkv.T, b3[0].reshape(D, 1),
@@ -3055,8 +3056,7 @@ def fused_space_cls_only_v2(x, base_cls, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.SMEM((num_heads,), jnp.float32),
                         pltpu.VMEM((num_heads, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_p, x_cls, base_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
@@ -3096,8 +3096,7 @@ def fused_space_cls_only_v7(xT, cls, basecls, ln_scale, ln_bias, wqkv, bqkv,
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, d, 1), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xT, cls, basecls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1), b3[2].reshape(D, 1),

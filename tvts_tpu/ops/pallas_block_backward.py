@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tvts_tpu.ops.pallas_block_attention import (
+    _compiler_params,
     _erf,
     _outer_fn1,
     _rowdot_fnd,
@@ -345,8 +346,7 @@ def fused_space_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((num_heads, d), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse,
@@ -738,6 +738,7 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                       patches_per_frame: int, num_heads: int,
                                       chunk: int = 64, acts_saved=None,
                                       probs_saved=None,
+                                      vmem_limit_mb: int = 100,
                                       interpret: bool = False):
     """Backward of the time sub-path (residual folded: returns the FULL dx)."""
     B, S, D = x.shape
@@ -797,8 +798,7 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((num_heads, d), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(vmem_limit_mb),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse, attn_cls.reshape(B, 1, D),
@@ -812,6 +812,7 @@ def fused_time_attention_block_v2_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
                       chunk: int = 64, save_acts: bool = True,
                       save_probs: bool = False,
+                      vmem_limit_mb: int = 100,
                       interpret: bool = False):
     """Differentiable fused time sub-path (residual included):
     f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + TimeAttn path.
@@ -819,21 +820,26 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
     save_acts: see make_space_subpath. save_probs (requires save_acts): the
     forward also saves the per-frame normalized softmax probs
     ([B,T,H,T+1,Np] bf16) so the backward skips the per-t l/exp/denom
-    chain."""
+    chain. vmem_limit_mb: scoped-VMEM ceiling for the Mosaic pipeliner —
+    the 100 MB default is a soft compiler budget, not the v5e's 128 MB
+    physical VMEM; the backward's f32 weight-grad accumulators are
+    chunk-independent (~26 MB at D=768, ~66 MB at D=1280), so H/14
+    (D=1280) needs chunk<=16 AND limit 120 to fit (measured round 4)."""
     T, N, H = num_frames, patches_per_frame, num_heads
 
     @jax.custom_vjp
     def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         return fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
-            patches_per_frame=N, num_heads=H, chunk=chunk, interpret=interpret)
+            patches_per_frame=N, num_heads=H, chunk=chunk,
+            vmem_limit_mb=vmem_limit_mb, interpret=interpret)
 
     def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         outs = fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
             patches_per_frame=N, num_heads=H, chunk=chunk, save_stats=True,
             save_acts=save_acts, save_probs=save_probs and save_acts,
-            interpret=interpret)
+            vmem_limit_mb=vmem_limit_mb, interpret=interpret)
         probs_saved = None
         if save_acts and save_probs:
             out, lse, acls, q, k, v, attn, probs_saved = outs
@@ -855,7 +861,7 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, acls,
                 num_frames=T, patches_per_frame=N, num_heads=H, chunk=chunk,
                 acts_saved=acts_saved, probs_saved=probs_saved,
-                interpret=interpret)
+                vmem_limit_mb=vmem_limit_mb, interpret=interpret)
         return (dx, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
@@ -1158,8 +1164,7 @@ def fused_space_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((num_heads, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
@@ -1489,8 +1494,7 @@ def fused_time_attention_block_v3_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj.T, lse,
@@ -1831,8 +1835,7 @@ def fused_space_attention_block_v5_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, b3[0:1], b3[1:2], b3[2:3], wproj, lse,
@@ -2153,8 +2156,7 @@ def fused_space_attention_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
@@ -2480,8 +2482,7 @@ def fused_time_attention_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv, wqkv.T, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
@@ -2664,8 +2665,7 @@ def fused_mlp_block_v7_bwd(goT, gocls, xT, cls, ln_scale, ln_bias, wfc, wpr,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wfc, wpr, h, hcls)
@@ -2978,8 +2978,7 @@ def fused_space_attention_block_v9_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(goT, gocls, xT, cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
@@ -3106,8 +3105,7 @@ def fused_space_attention_block_v10_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                    jax.ShapeDtypeStruct((D, 1), jnp.float32),
                    jax.ShapeDtypeStruct((D, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, d, 1), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(g_p, g_cls, x_p, x_cls, ln_scale.reshape(D, 1), ln_bias.reshape(D, 1),
       wqkv.T, wqkv, b3[0].reshape(D, 1), b3[1].reshape(D, 1),
