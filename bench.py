@@ -75,13 +75,18 @@ def main():
         # full-token ln_post projection (pre-round-3 semantics)
         toks = os.environ.get("TVTS_TPU_BENCH_TOKENS", "0") == "1"
         scan = os.environ.get("TVTS_TPU_BENCH_SCAN", "0") == "1"
+        # matmul frame-grouping (round 4): g=3 lane-concat for the time
+        # qkv/proj and MLP fc/proj matmuls; 0 -> auto (3 when T % 3 == 0)
+        mmg_env = int(os.environ.get("TVTS_TPU_BENCH_MMG", "0"))
+        mmg = mmg_env or None
 
         @jax.jit
         def extract(params, video, keep):
             pooled, _ = space_time_vit_fused_forward(
                 params, cfg, video, keep, kernel_version=kv,
                 time_chunk=tchunk, space_version=sv, space_fpp=sfpp,
-                mlp_chunk=mchunk, need_tokens=toks, scan_blocks=scan)
+                mlp_chunk=mchunk, need_tokens=toks, scan_blocks=scan,
+                mm_group=mmg)
             return pooled
     else:
         @jax.jit

@@ -213,3 +213,59 @@ def test_fused_forward_v6_whole_block_matches_apply():
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mmg", [2, 4])
+def test_fused_forward_mm_group_matches_ungrouped(mmg):
+    """mm_group (round 4: time qkv/proj and MLP fc/proj matmuls run on
+    mm_group frames lane-concatenated — bigger lane tiles, smaller pad)
+    must match the per-frame tower exactly: the concat commutes with the
+    column-parallel LN and the per-column matmul math is identical."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    rng = np.random.default_rng(11)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_p, want_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=1, interpret=True)
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=mmg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_forward_mm_group_cls_only_and_scan():
+    """mm_group composes with the CLS-only extraction tail and with
+    scan_blocks (the bench configuration)."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=4, mask_ratio=0.5)
+    rng = np.random.default_rng(12)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_p, _ = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=1, need_tokens=False, interpret=True)
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=2, need_tokens=False, interpret=True)
+    assert got_t is None
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6, rtol=1e-6)
+    got_scan, _ = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=2, scan_blocks=True, interpret=True)
+    full_p, _ = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_scan), np.asarray(full_p),
+                               atol=1e-6, rtol=1e-6)

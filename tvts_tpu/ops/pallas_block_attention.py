@@ -2234,7 +2234,8 @@ def fused_spacemlp_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
 
 def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
                                save_acts: bool = False,
-                               save_attn: bool = True):
+                               save_attn: bool = True,
+                               mm_group: int = 1):
     def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
                o_ref, ocls_ref, *rest):
@@ -2264,18 +2265,37 @@ def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
         lnT = _lnT_fn(ln_sT_ref[:].astype(f32), ln_bT_ref[:].astype(f32))
 
         xT = x_ref[0]                                      # [T, D, Nc]
+        Nc = xT.shape[2]
         qs, ks, vs = [], [], []
-        for t in range(T):
-            x_lnT_t = lnT(xT[t]).astype(dtype)             # [D, Nc]
-            qkvT_t = jnp.dot(wqkvT_ref[:], x_lnT_t,
-                             preferred_element_type=f32)   # [3D, Nc]
-            qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
-            ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
-            vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
-            if save_acts:
-                qT_ref[0, t] = qs[-1]
-                kT_ref[0, t] = ks[-1]
-                vT_ref[0, t] = vs[-1]
+        if mm_group > 1:
+            # mm_group frames lane-concatenated into ONE [3D,D]@[D,g*Nc]
+            # qkv matmul: g=3 turns the 196 -> 256 lane pad (30.6%) into
+            # 588 -> 640 (8.8%) — measured 53.6 -> 49.5 ms per 12-block
+            # chain at B=32 (tools/time_split_probe.py widemm, PERF r4)
+            for t0 in range(0, T, mm_group):
+                xcat = jnp.concatenate(
+                    [lnT(xT[t0 + i]).astype(dtype) for i in range(mm_group)],
+                    axis=1)                                # [D, g*Nc]
+                qkvw = jnp.dot(wqkvT_ref[:], xcat,
+                               preferred_element_type=f32)
+                for i in range(mm_group):
+                    qkvT_t = qkvw[:, i * Nc:(i + 1) * Nc]
+                    qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
+                    ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
+                    vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
+        else:
+            for t in range(T):
+                x_lnT_t = lnT(xT[t]).astype(dtype)         # [D, Nc]
+                qkvT_t = jnp.dot(wqkvT_ref[:], x_lnT_t,
+                                 preferred_element_type=f32)   # [3D, Nc]
+                qs.append(((qkvT_t[:D] + bqT) * scale).astype(dtype))
+                ks.append((qkvT_t[D:2 * D] + bkT).astype(dtype))
+                vs.append((qkvT_t[2 * D:] + bvT).astype(dtype))
+        if save_acts:
+            for t in range(T):
+                qT_ref[0, t] = qs[t]
+                kT_ref[0, t] = ks[t]
+                vT_ref[0, t] = vs[t]
 
         # [T, D, Nc] stacks -> [H, T, d, Nc] head tiles (sublane split +
         # leading transpose; softmax stays H-leading, v4 pattern)
@@ -2329,12 +2349,23 @@ def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
 
         # ---- projection + residual (no transpose out) -----------------------
         bprojT = bprojT_ref[:].astype(f32)
-        for t in range(T):
-            if save_acts and save_attn:
+        if save_acts and save_attn:
+            for t in range(T):
                 attnT_ref[0, t] = outs_t[t]
-            projT_t = jnp.dot(wprojT_ref[:], outs_t[t],
-                              preferred_element_type=f32) + bprojT  # [D, Nc]
-            o_ref[0, t] = (xT[t].astype(f32) + projT_t).astype(dtype)
+        if mm_group > 1:
+            for t0 in range(0, T, mm_group):
+                ocat = jnp.concatenate(outs_t[t0:t0 + mm_group], axis=1)
+                pw = jnp.dot(wprojT_ref[:], ocat,
+                             preferred_element_type=f32)   # [D, g*Nc]
+                for i in range(mm_group):
+                    o_ref[0, t0 + i] = (xT[t0 + i].astype(f32)
+                                        + pw[:, i * Nc:(i + 1) * Nc]
+                                        + bprojT).astype(dtype)
+        else:
+            for t in range(T):
+                projT_t = jnp.dot(wprojT_ref[:], outs_t[t],
+                                  preferred_element_type=f32) + bprojT
+                o_ref[0, t] = (xT[t].astype(f32) + projT_t).astype(dtype)
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finalize():
@@ -2355,16 +2386,23 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
                                   save_stats: bool = False,
                                   save_acts: bool = False,
                                   save_attn: bool = True,
+                                  mm_group: int = 1,
                                   interpret: bool = False):
     """d-major time sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
     chunk must divide N (defaults to N if it does not) — padded lanes must
     never reach the downstream space kernel. Returns (oT, ocls); with
-    save_stats+save_acts also (lse, aclsT, qT, kT, vT, attnT)."""
+    save_stats+save_acts also (lse, aclsT, qT, kT, vT, attnT).
+
+    mm_group > 1 (requires mm_group | T): the per-frame qkv/proj matmuls
+    run on mm_group frames lane-concatenated ([3D,D]@[D,g*Nc]) — larger
+    lane tiles at a smaller pad (see kernel note; extraction fast path)."""
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
     if chunk is None or N % chunk != 0:
         chunk = N
+    if mm_group > 1 and T % mm_group:
+        mm_group = 1
 
     chunkT_spec = pl.BlockSpec((1, T, D, chunk), lambda b, c: (b, 0, 0, c),
                                memory_space=pltpu.VMEM)
@@ -2395,7 +2433,8 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
 
     b3 = bqkv.reshape(3, D)
     outs = pl.pallas_call(
-        _make_time_block_kernel_v7(H, T, save_stats, save_acts, save_attn),
+        _make_time_block_kernel_v7(H, T, save_stats, save_acts, save_attn,
+                                   mm_group),
         grid=(B, N // chunk),
         in_specs=[chunkT_spec, cls_spec, vecT_spec, vecT_spec, wqkvT_spec,
                   vecT_spec, vecT_spec, vecT_spec, wprojT_spec, vecT_spec],
@@ -2412,14 +2451,14 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
     return outs
 
 
-def _make_mlp_kernel_v7(act: str, save_h: bool = False):
+def _make_mlp_kernel_v7(act: str, save_h: bool = False, fpp: int = 1):
     def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref, wfcT_ref, bfcT_ref,
                wprT_ref, bprT_ref, o_ref, ocls_ref, *rest):
-        """Grid (B, T). x/o blocks [1, 1, D, N] (d-major); cls handled at
-        t == 0. o = x + c_projT(act(c_fcT(lnT(x)))). With save_h the
-        PRE-activation hidden ([B,T,4D,N] + [B,4D,1] CLS) comes back for the
-        v7 backward (the XLA-MLP strategy: reuse saved hiddens instead of
-        recomputing the fc matmul in the backward)."""
+        """Grid (B, T // fpp). x/o blocks [1, fpp, D, N] (d-major); cls
+        handled at t == 0. o = x + c_projT(act(c_fcT(lnT(x)))). With save_h
+        (fpp == 1 only) the PRE-activation hidden ([B,T,4D,N] + [B,4D,1]
+        CLS) comes back for the v7 backward (the XLA-MLP strategy: reuse
+        saved hiddens instead of recomputing the fc matmul)."""
         if save_h:
             h_ref, hcls_ref = rest
         f32 = jnp.float32
@@ -2441,10 +2480,34 @@ def _make_mlp_kernel_v7(act: str, save_h: bool = False):
                           preferred_element_type=f32) + bprT
             return tT.astype(f32) + out, h_pre
 
-        out, h_pre = mlpT(x_ref[0, 0])
-        o_ref[0, 0] = out.astype(dtype)
-        if save_h:
-            h_ref[0, 0] = h_pre
+        if fpp == 1:
+            out, h_pre = mlpT(x_ref[0, 0])
+            o_ref[0, 0] = out.astype(dtype)
+            if save_h:
+                h_ref[0, 0] = h_pre
+        else:
+            # fpp frames lane-concatenated into ONE [D, fpp*N] fc/proj pair:
+            # fpp=3 turns the 196 -> 256 lane pad (30.6%) into 588 -> 640
+            # (8.8%) — measured 66.9 -> 57.1 ms per 12-block chain at B=32
+            # (tools/time_split_probe.py, PERF.md round 4). LN is per-column
+            # so it commutes with the concat; math per column is identical.
+            xg = x_ref[0]                                  # [fpp, D, N]
+            N = xg.shape[2]
+            ycat = jnp.concatenate([lnT(xg[i]).astype(dtype)
+                                    for i in range(fpp)], axis=1)
+            h_pre = (jnp.dot(wfcT_ref[:], ycat, preferred_element_type=f32)
+                     + bfcT).astype(dtype)
+            h = h_pre.astype(f32)
+            if act == "quick_gelu":
+                h = h * jax.nn.sigmoid(1.702 * h)
+            else:
+                h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+            out = jnp.dot(wprT_ref[:], h.astype(dtype),
+                          preferred_element_type=f32)      # [D, fpp*N]
+            for i in range(fpp):
+                o_ref[0, i] = (xg[i].astype(f32)
+                               + out[:, i * N:(i + 1) * N]
+                               + bprT).astype(dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _cls():
@@ -2458,14 +2521,22 @@ def _make_mlp_kernel_v7(act: str, save_h: bool = False):
 
 def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
                        act: str = "quick_gelu", save_h: bool = False,
+                       fpp: int = 1,
                        interpret: bool = False):
     """d-major MLP sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
     Returns (oT, ocls); with save_h also (h [B,T,4D,N], hcls [B,4D,1]) —
-    the pre-activation hiddens for the v7 backward."""
+    the pre-activation hiddens for the v7 backward.
+
+    fpp > 1 (extraction fast path; requires save_h=False and fpp | T):
+    each program lane-concatenates fpp frames into one [D, fpp*N] fc/proj
+    pair — larger matmul lane tiles at a smaller pad (see kernel note)."""
     B, T, D, N = xT.shape
     hidden = wfc.shape[1]
+    if fpp > 1 and (save_h or T % fpp):
+        fpp = 1
 
-    frameT_spec = pl.BlockSpec((1, 1, D, N), lambda b, t: (b, t, 0, 0),
+    frameT_spec = pl.BlockSpec((1, fpp, D, N),
+                               lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM)
     cls_spec = pl.BlockSpec((1, 1, D), lambda b, t: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2490,8 +2561,8 @@ def fused_mlp_block_v7(xT, cls, ln_scale, ln_bias, wfc, bfc, wproj, bproj,
                       jax.ShapeDtypeStruct((B, hidden, 1), xT.dtype)]
 
     outs = pl.pallas_call(
-        _make_mlp_kernel_v7(act, save_h),
-        grid=(B, T),
+        _make_mlp_kernel_v7(act, save_h, fpp),
+        grid=(B, T // fpp),
         in_specs=[frameT_spec, cls_spec, vecT_spec, vecT_spec, wfcT_spec,
                   hvecT_spec, wprT_spec, vecT_spec],
         out_specs=tuple(out_specs),
