@@ -35,12 +35,13 @@ def main():
 
     cfg = tvtsv2_b_16().eval_config().vision  # mask_ratio 0 = extraction mode
     # default path: the hand-scheduled fused inference forward (v7 d-major
-    # tower + v9 frame-batched space + CLS-only tail) — ~176.5 clips/s vs
-    # ~67 for model.apply at B=32 (PERF.md round 3)
+    # tower + v9 frame-batched space + CLS-only tail + round-4 mm_group
+    # matmul frame-grouping) — ~192.5 clips/s at B=64 vs ~66 for
+    # model.apply (PERF.md round 4; B=64 beats 32/48, 96+ OOMs HBM)
     use_fused = os.environ.get("TVTS_TPU_BENCH_FUSED", "1") == "1"
     model = SpaceTimeViT(cfg, dtype=jnp.bfloat16)
 
-    B = int(os.environ.get("TVTS_TPU_BENCH_BATCH", "32"))
+    B = int(os.environ.get("TVTS_TPU_BENCH_BATCH", "64"))
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(B, cfg.num_frames, 3, cfg.input_resolution,
                                          cfg.input_resolution)).astype(np.float32))

@@ -269,3 +269,27 @@ def test_fused_forward_mm_group_cls_only_and_scan():
         mm_group=1, interpret=True)
     np.testing.assert_allclose(np.asarray(got_scan), np.asarray(full_p),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_fused_forward_v9_wide_mm_matches_ungrouped():
+    """wide_mm (round 4: the v9 space kernel's per-frame qkv/proj matmuls run
+    on its fpp frames lane-concatenated) must match the ungrouped tower
+    exactly; active at fpp 3/6 with mm_group > 1."""
+    cfg = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                       heads=4, output_dim=48, num_frames=6, mask_ratio=0.5)
+    rng = np.random.default_rng(13)
+    video = jnp.asarray(rng.normal(size=(2, 6, 3, 32, 32)).astype(np.float32))
+    keep = jnp.asarray(np.stack([rng.permutation(4)[:2]
+                                 for _ in range(2)]).astype(np.int32))
+    model = SpaceTimeViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), video, keep)["params"]
+    want_p, want_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        space_fpp=3, mm_group=1, interpret=True)
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        space_fpp=3, mm_group=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-6, rtol=1e-6)

@@ -138,6 +138,10 @@ def main():
     cases[f"space/v9f{sfpp}"] = (chainT(
         lambda xT, cls, *w: fused_space_attention_block_v9(
             xT, xT, cls, cls, *w, num_heads=H, fpp=sfpp)), (xT, cls) + aw)
+    cases[f"space/v9f{sfpp}w"] = (chainT(
+        lambda xT, cls, *w: fused_space_attention_block_v9(
+            xT, xT, cls, cls, *w, num_heads=H, fpp=sfpp, wide_mm=True)),
+        (xT, cls) + aw)
     cases["mlp/v7"] = (chainT(lambda xT, cls, *w: fused_mlp_block_v7(
         xT, cls, *w)), (xT, cls) + mw)
     cases["spacemlp/v7"] = (chainT(lambda xT, cls, *w: fused_spacemlp_block_v7(

@@ -103,8 +103,15 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
         tc = time_chunk if n_keep % time_chunk == 0 else n_keep
         # matmul frame-grouping (PERF r4): lane-concat g frames per qkv/proj
         # (time) and fc/proj (MLP) matmul — g=3 cuts the N=196 lane pad from
-        # 30.6% to 8.8% (53.6->49.5 / 66.9->57.1 ms per chain at B=32)
-        mmg = mm_group if mm_group is not None else (3 if T % 3 == 0 else 1)
+        # 30.6% to 8.8% (53.6->49.5 / 66.9->57.1 ms per chain at B=32).
+        # Auto only when the pad actually shrinks (e.g. NOT at N=256, which
+        # is already tile-aligned — lane_pad_gain)
+        from tvts_tpu.ops.pallas_block_attention import lane_pad_gain
+
+        if mm_group is not None:
+            mmg = mm_group
+        else:
+            mmg = 3 if T % 3 == 0 and lane_pad_gain(n_keep, 3) else 1
         if T % max(mmg, 1):
             mmg = 1
         if scan_blocks:
@@ -147,6 +154,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                     srT, src = fused_space_attention_block_v9(
                         trT, xT, trc, cls, ln1s, ln1b, swq, sbq, swp, sbp,
                         num_heads=cfg.heads, fpp=space_fpp,
+                        wide_mm=mmg > 1 and lane_pad_gain(n_keep, space_fpp),
                         interpret=interpret)
                     xT, cls = fused_mlp_block_v7(
                         srT, src, ln2s, ln2b, wfc, bfc, wpr, bpr,
@@ -224,7 +232,9 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                     bp["attn"]["qkv"]["bias"].astype(dtype),
                     bp["attn"]["proj"]["kernel"].astype(dtype),
                     bp["attn"]["proj"]["bias"].astype(dtype),
-                    num_heads=cfg.heads, fpp=space_fpp, interpret=interpret)
+                    num_heads=cfg.heads, fpp=space_fpp,
+                    wide_mm=mmg > 1 and lane_pad_gain(n_keep, space_fpp),
+                    interpret=interpret)
             else:
                 srT, src = fused_space_attention_block_v7(
                     trT, xT, trc, cls,
@@ -518,9 +528,14 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
         fpp = space_fpp or (4 if space_mode == "pallas_v10" else 3)
         if num_frames % fpp:
             fpp = next((c for c in (4, 3, 2) if num_frames % c == 0), 1)
+        # round-4 mm_group trick on the v10 qkv/proj (+grad) matmuls: only
+        # when the lane pad shrinks (at train n_keep=98 that needs fpp=6)
+        from tvts_tpu.ops.pallas_block_attention import lane_pad_gain
+
         space_f = make_space_subpath_v10(num_frames, n_keep, cfg.heads,
                                          fpp=fpp,
                                          save_probs=space_mode == "pallas_v10",
+                                         wide_mm=lane_pad_gain(n_keep, fpp),
                                          interpret=interpret)
     elif space_mode == "pallas_v5":
         # frame-batched row-major kernels (batched per-head dot_generals,

@@ -37,6 +37,17 @@ def _compiler_params(mb: int | None = None) -> pltpu.CompilerParams:
         vmem_limit_bytes=(mb or VMEM_LIMIT_MB) * 1024 * 1024)
 
 
+def lane_pad_gain(n: int, g: int) -> bool:
+    """True when lane-concatenating g tiles of n lanes pays a smaller MXU
+    lane pad than per-tile matmuls (the round-4 mm_group gate): e.g. n=196
+    g=3 -> 8.8%% vs 30.6%%; n=256 any g -> no gain (already tile-aligned)."""
+    import math
+
+    pad1 = math.ceil(n / 128) * 128 / n
+    padg = math.ceil(g * n / 128) * 128 / (g * n)
+    return padg < pad1 - 0.02
+
+
 def _make_space_block_kernel(H: int, FPP: int = 1):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
@@ -2648,7 +2659,8 @@ def fused_block_v6(x, params_block, num_frames: int, patches_per_frame: int,
 def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                                 save_acts: bool = False,
                                 save_probs: bool = False,
-                                row_io: bool = False):
+                                row_io: bool = False,
+                                wide_mm: bool = False):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
                o_ref, ocls_ref, *rest):
@@ -2697,18 +2709,35 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
 
         # per-frame qkv projections; head tiles collected as [FPP, H, d, N]
         qs, ks, vs = [], [], []
-        for f in range(FPP):
-            xT_f = x_ref[0, f].T if row_io else x_ref[0, f]
-            x_lnT = lnT(xT_f).astype(dtype)                # [D, N]
-            qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
-                           preferred_element_type=f32)     # [3D, N]
-            qs.append(((qkvT[:D] + bqT) * scale).astype(dtype))
-            ks.append((qkvT[D:2 * D] + bkT).astype(dtype))
-            vs.append((qkvT[2 * D:] + bvT).astype(dtype))
-            if save_acts:
-                qT_ref[0, f] = qs[-1]
-                kT_ref[0, f] = ks[-1]
-                vT_ref[0, f] = vs[-1]
+        if wide_mm:
+            # FPP frames lane-concatenated into ONE [3D,D]@[D,FPP*N] qkv
+            # matmul (the round-4 mm_group trick: at FPP=3 the 196 -> 256
+            # lane pad drops to 588 -> 640; see the time kernel note)
+            xcat = jnp.concatenate(
+                [lnT(x_ref[0, f].T if row_io else x_ref[0, f]).astype(dtype)
+                 for f in range(FPP)], axis=1)             # [D, FPP*N]
+            Nw = xcat.shape[1] // FPP
+            qkvW = jnp.dot(wqkvT_ref[:], xcat,
+                           preferred_element_type=f32)     # [3D, FPP*N]
+            for f in range(FPP):
+                qkvT = qkvW[:, f * Nw:(f + 1) * Nw]
+                qs.append(((qkvT[:D] + bqT) * scale).astype(dtype))
+                ks.append((qkvT[D:2 * D] + bkT).astype(dtype))
+                vs.append((qkvT[2 * D:] + bvT).astype(dtype))
+        else:
+            for f in range(FPP):
+                xT_f = x_ref[0, f].T if row_io else x_ref[0, f]
+                x_lnT = lnT(xT_f).astype(dtype)            # [D, N]
+                qkvT = jnp.dot(wqkvT_ref[:], x_lnT,
+                               preferred_element_type=f32)  # [3D, N]
+                qs.append(((qkvT[:D] + bqT) * scale).astype(dtype))
+                ks.append((qkvT[D:2 * D] + bkT).astype(dtype))
+                vs.append((qkvT[2 * D:] + bvT).astype(dtype))
+        if save_acts:
+            for f in range(FPP):
+                qT_ref[0, f] = qs[f]
+                kT_ref[0, f] = ks[f]
+                vT_ref[0, f] = vs[f]
 
         def heads(ts):                                     # FPP x [D, N]
             return jnp.stack(ts).reshape(FPP * H, d, -1)
@@ -2739,15 +2768,30 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
         oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom[:, None, :]
         attn_all = oT3.astype(dtype).reshape(FPP, D, -1)   # leading split
 
-        for f in range(FPP):
-            projT = jnp.dot(wprojT_ref[:], attn_all[f],
-                            preferred_element_type=f32) + bprojT
-            if row_io:
-                o_ref[0, f] = (base_ref[0, f].astype(f32)
-                               + projT.T).astype(dtype)
-            else:
-                o_ref[0, f] = (base_ref[0, f].astype(f32)
-                               + projT).astype(dtype)
+        if wide_mm:
+            ocat = jnp.concatenate([attn_all[f] for f in range(FPP)],
+                                   axis=1)                 # [D, FPP*N]
+            Nw = ocat.shape[1] // FPP
+            projW = jnp.dot(wprojT_ref[:], ocat,
+                            preferred_element_type=f32)
+            for f in range(FPP):
+                projT = projW[:, f * Nw:(f + 1) * Nw] + bprojT
+                if row_io:
+                    o_ref[0, f] = (base_ref[0, f].astype(f32)
+                                   + projT.T).astype(dtype)
+                else:
+                    o_ref[0, f] = (base_ref[0, f].astype(f32)
+                                   + projT).astype(dtype)
+        else:
+            for f in range(FPP):
+                projT = jnp.dot(wprojT_ref[:], attn_all[f],
+                                preferred_element_type=f32) + bprojT
+                if row_io:
+                    o_ref[0, f] = (base_ref[0, f].astype(f32)
+                                   + projT.T).astype(dtype)
+                else:
+                    o_ref[0, f] = (base_ref[0, f].astype(f32)
+                                   + projT).astype(dtype)
 
         # CLS row: online accumulation over this program's FPP frames
         qcB = jnp.concatenate([qc3] * FPP, axis=0)         # [FPP*H, d, 1]
@@ -2789,10 +2833,15 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
                                    fpp: int = 2, save_stats: bool = False,
                                    save_acts: bool = False,
                                    save_probs: bool = False,
+                                   wide_mm: bool = False,
                                    interpret: bool = False):
     """v7 space sub-path with fpp frames per program (batched [fpp*H]
     attention dot_generals). Same I/O contract as
-    fused_space_attention_block_v7; fpp must divide T."""
+    fused_space_attention_block_v7; fpp must divide T.
+
+    wide_mm: the per-frame qkv/proj matmuls run on the program's fpp frames
+    lane-concatenated (round-4 mm_group trick — pays off at fpp 3/6 where
+    the lane pad drops to 8.8%)."""
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2841,7 +2890,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     b3 = bqkv.reshape(3, D)
     outs = pl.pallas_call(
         _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
-                                    save_probs),
+                                    save_probs, wide_mm=wide_mm),
         grid=(B, T // fpp),
         in_specs=[groupT_spec, groupT_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
@@ -2868,6 +2917,7 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                     fpp: int = 2, save_stats: bool = False,
                                     save_acts: bool = False,
                                     save_probs: bool = False,
+                                    wide_mm: bool = False,
                                     interpret: bool = False):
     """v9 FPP-frame-batched space kernel with ROW-major tower I/O (the v3
     sub-path contract: x/base [B, 1+T*N, D]); the per-frame [N,D]<->[D,N]
@@ -2929,7 +2979,8 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     b3 = bqkv.reshape(3, D)
     outs = pl.pallas_call(
         _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
-                                    save_probs, row_io=True),
+                                    save_probs, row_io=True,
+                                    wide_mm=wide_mm),
         grid=(B, T // fpp),
         in_specs=[group_spec, group_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,

@@ -2707,7 +2707,7 @@ def make_mlp_subpath_v7(act: str = "quick_gelu", interpret: bool = False):
 
 
 def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
-                              row_io: bool = False):
+                              row_io: bool = False, wide_mm: bool = False):
     def kernel(g_ref, gcls_ref, x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, wqkv_ref, bqT_ref, bkT_ref, bvT_ref, wproj_ref,
                lse_ref, aclsT_ref, qT_ref, kT_ref, vT_ref, *rest):
@@ -2777,11 +2777,17 @@ def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
         CONTRACT_Q_LHS2 = (((2,), (1,)), ((0,), (0,)))
 
         # upstream grads per frame, batched to [FPP*H, d, N]
-        dattnT_fs = []
         gTs = [g_ref[0, f].T if row_io else g_ref[0, f] for f in range(FPP)]
-        for f in range(FPP):
-            dattnT_fs.append(jnp.dot(wproj_ref[:], gTs[f],
-                                     preferred_element_type=f32))
+        if wide_mm:
+            # round-4 mm_group trick: ONE [D,D]@[D,FPP*N] matmul (lane pad
+            # 8.8% at FPP=3 vs 30.6% per frame; see the attention module)
+            g_cat = jnp.concatenate(gTs, axis=1)           # [D, FPP*N]
+            dattnW = jnp.dot(wproj_ref[:], g_cat, preferred_element_type=f32)
+            dattnT_fs = [dattnW[:, f * N:(f + 1) * N] for f in range(FPP)]
+        else:
+            dattnT_fs = [jnp.dot(wproj_ref[:], gTs[f],
+                                 preferred_element_type=f32)
+                         for f in range(FPP)]
         dout3 = jnp.stack(dattnT_fs).reshape(FPP * H, d, N)
         dout_b = dout3.astype(dtype)
         gcls = gcls_ref[0]
@@ -2815,11 +2821,19 @@ def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
                                   preferred_element_type=f32) \
             + vcB * pn_cls[:, None, :]
         attn_all = oT3.astype(dtype).reshape(FPP, D, N)
-        for f in range(FPP):
+        if wide_mm:
+            attn_cat = jnp.concatenate([attn_all[f] for f in range(FPP)],
+                                       axis=1)             # [D, FPP*N]
             dwproj_ref[...] += jax.lax.dot_general(
-                attn_all[f], gTs[f], LANE_NN, preferred_element_type=f32)
-            dbprojT_ref[...] += jnp.sum(gTs[f].astype(f32), axis=1,
+                attn_cat, g_cat, LANE_NN, preferred_element_type=f32)
+            dbprojT_ref[...] += jnp.sum(g_cat.astype(f32), axis=1,
                                         keepdims=True)
+        else:
+            for f in range(FPP):
+                dwproj_ref[...] += jax.lax.dot_general(
+                    attn_all[f], gTs[f], LANE_NN, preferred_element_type=f32)
+                dbprojT_ref[...] += jnp.sum(gTs[f].astype(f32), axis=1,
+                                            keepdims=True)
 
         # value / prob / softmax backward (batched)
         dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
@@ -2869,27 +2883,54 @@ def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
         dq_all = (dq3 * scale).reshape(FPP, D, N)
         dk_all = dk3.reshape(FPP, D, N)
         dv_all = dv3.reshape(FPP, D, N)
-        for f in range(FPP):
-            dqT = dq_all[f]
-            dkT = dk_all[f]
-            dvT = dv_all[f]
-            dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=0).astype(dtype)
-            x_lnT, xhatT, rstdT = lnT_fwd(
-                x_ref[0, f].T if row_io else x_ref[0, f])
-            x_lnT_b = x_lnT.astype(dtype)
+        if wide_mm:
+            # frame-concatenated weight-grad + dxln matmuls: the LANE_NN
+            # contraction over FPP*N lanes sums the frames in ONE dot
+            dqkvW = jnp.concatenate(
+                [jnp.concatenate([dq_all[f], dk_all[f], dv_all[f]], axis=0)
+                 for f in range(FPP)], axis=1).astype(dtype)  # [3D, FPP*N]
+            lnfs = [lnT_fwd(x_ref[0, f].T if row_io else x_ref[0, f])
+                    for f in range(FPP)]
+            xln_cat = jnp.concatenate([lf[0] for lf in lnfs],
+                                      axis=1).astype(dtype)   # [D, FPP*N]
             dwqkvT_ref[...] += jax.lax.dot_general(
-                dqkvT, x_lnT_b, LANE_NN, preferred_element_type=f32)
-            dbqT_ref[...] += jnp.sum(dqT, axis=1, keepdims=True)
-            dbkT_ref[...] += jnp.sum(dkT, axis=1, keepdims=True)
-            dbvT_ref[...] += jnp.sum(dvT, axis=1, keepdims=True)
-            dxlnT = jnp.dot(wqkv_ref[:], dqkvT, preferred_element_type=f32)
-            dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
-            dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
-            dxhatT = dxlnT * ln_sT
-            m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
-            m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
-            dxT = (dxhatT - m1 - xhatT * m2) * rstdT
-            dx_ref[0, f] = (dxT.T if row_io else dxT).astype(dx_ref.dtype)
+                dqkvW, xln_cat, LANE_NN, preferred_element_type=f32)
+            dbqT_ref[...] += jnp.sum(dq_all, axis=(0, 2))[:, None]
+            dbkT_ref[...] += jnp.sum(dk_all, axis=(0, 2))[:, None]
+            dbvT_ref[...] += jnp.sum(dv_all, axis=(0, 2))[:, None]
+            dxlnW = jnp.dot(wqkv_ref[:], dqkvW, preferred_element_type=f32)
+            for f in range(FPP):
+                dxlnT = dxlnW[:, f * N:(f + 1) * N]
+                _, xhatT, rstdT = lnfs[f]
+                dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+                dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+                dxhatT = dxlnT * ln_sT
+                m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
+                m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+                dxT = (dxhatT - m1 - xhatT * m2) * rstdT
+                dx_ref[0, f] = (dxT.T if row_io else dxT).astype(dx_ref.dtype)
+        else:
+            for f in range(FPP):
+                dqT = dq_all[f]
+                dkT = dk_all[f]
+                dvT = dv_all[f]
+                dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=0).astype(dtype)
+                x_lnT, xhatT, rstdT = lnT_fwd(
+                    x_ref[0, f].T if row_io else x_ref[0, f])
+                x_lnT_b = x_lnT.astype(dtype)
+                dwqkvT_ref[...] += jax.lax.dot_general(
+                    dqkvT, x_lnT_b, LANE_NN, preferred_element_type=f32)
+                dbqT_ref[...] += jnp.sum(dqT, axis=1, keepdims=True)
+                dbkT_ref[...] += jnp.sum(dkT, axis=1, keepdims=True)
+                dbvT_ref[...] += jnp.sum(dvT, axis=1, keepdims=True)
+                dxlnT = jnp.dot(wqkv_ref[:], dqkvT, preferred_element_type=f32)
+                dlsT_ref[...] += jnp.sum(dxlnT * xhatT, axis=1, keepdims=True)
+                dlbT_ref[...] += jnp.sum(dxlnT, axis=1, keepdims=True)
+                dxhatT = dxlnT * ln_sT
+                m1 = jnp.mean(dxhatT, axis=0, keepdims=True)
+                m2 = jnp.mean(dxhatT * xhatT, axis=0, keepdims=True)
+                dxT = (dxhatT - m1 - xhatT * m2) * rstdT
+                dx_ref[0, f] = (dxT.T if row_io else dxT).astype(dx_ref.dtype)
 
         @pl.when(t == pl.num_programs(1) - 1)
         def _finish_cls():
@@ -2922,9 +2963,11 @@ def fused_space_attention_block_v9_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
                                        wqkv, bqkv, wproj, lse, aclsT,
                                        acts_saved, probs_saved,
                                        num_heads: int, fpp: int,
+                                       wide_mm: bool = False,
                                        interpret: bool = False):
     """Backward matching fused_space_attention_block_v9 (d-major tower I/O,
-    FPP frames per program)."""
+    FPP frames per program). wide_mm: frame-concatenated proj/qkv-grad
+    matmuls (round-4 mm_group trick)."""
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2960,7 +3003,8 @@ def fused_space_attention_block_v9_bwd(goT, gocls, xT, cls, ln_scale, ln_bias,
         extra_ins += tuple(probs_saved)
 
     outs = pl.pallas_call(
-        _make_space_bwd_kernel_v9(H, fpp, use_probs=probs_saved is not None),
+        _make_space_bwd_kernel_v9(H, fpp, use_probs=probs_saved is not None,
+                                  wide_mm=wide_mm),
         grid=(B, T // fpp),
         in_specs=[groupT_spec, cls_spec, groupT_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
@@ -3041,6 +3085,7 @@ def fused_space_attention_block_v10_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                         probs_saved, num_frames: int,
                                         patches_per_frame: int,
                                         num_heads: int, fpp: int,
+                                        wide_mm: bool = False,
                                         interpret: bool = False):
     """Backward matching fused_space_attention_block_v10 (row-major tower
     I/O, FPP frames per program, d-major saves)."""
@@ -3087,7 +3132,7 @@ def fused_space_attention_block_v10_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
     outs = pl.pallas_call(
         _make_space_bwd_kernel_v9(H, fpp, use_probs=probs_saved is not None,
-                                  row_io=True),
+                                  row_io=True, wide_mm=wide_mm),
         grid=(B, T // fpp),
         in_specs=[group_spec, cls_spec, group_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, wqkv_spec, vecT_spec, vecT_spec,
@@ -3121,6 +3166,7 @@ def fused_space_attention_block_v10_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
                            num_heads: int, fpp: int = 3,
                            save_probs: bool = True,
+                           wide_mm: bool = False,
                            interpret: bool = False):
     """Differentiable FPP-frame-batched space sub-path with ROW tower I/O —
     drop-in for make_space_subpath_v3 (space_mode='pallas_v10'): the v9
@@ -3135,14 +3181,14 @@ def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
         return fused_space_attention_block_v10(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
-            interpret=interpret)
+            wide_mm=wide_mm, interpret=interpret)
 
     def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         outs = fused_space_attention_block_v10(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
             save_stats=True, save_acts=True, save_probs=save_probs,
-            interpret=interpret)
+            wide_mm=wide_mm, interpret=interpret)
         out, lse, aclsT = outs[0], outs[1], outs[2]
         acts = tuple(outs[3:6])
         probs = tuple(outs[6:]) if save_probs else None
@@ -3156,7 +3202,7 @@ def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
             fused_space_attention_block_v10_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj, lse, aclsT,
                 acts, probs, num_frames=T, patches_per_frame=N, num_heads=H,
-                fpp=fpp, interpret=interpret)
+                fpp=fpp, wide_mm=wide_mm, interpret=interpret)
         return (dx, g, dls.astype(ln_scale.dtype), dlb.astype(ln_bias.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj.astype(bqkv.dtype))
