@@ -111,7 +111,8 @@ def main():
         from tvts_tpu.utils.logging import ScalarWriter, setup_logging
 
         setup_logging(str(config.log_dir), verbosity=tcfg.get("verbosity", 2))
-        writer = ScalarWriter(str(config.log_dir))
+        writer = ScalarWriter(str(config.log_dir),
+                              tensorboard=tcfg.get("tensorboard", False))
         if tcfg.get("neptune"):
             # reference configs can request a Sacred/Neptune observer
             # (train_dist_TVTSv2_ViT_B_16.py:210-216); TPU pods have no

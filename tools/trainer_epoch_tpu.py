@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""One REAL `Trainer.train()` epoch on the TPU through the production driver.
+
+VERDICT r3 #6: every hardware training number so far came from
+tools/train_bench.py / tools/sustained_train.py, which build their own loop
+around make_train_step — the production path (scripts/train_dist_TVTSv2.py
+--fused_kernels: config parsing, dataset construction, ShardedLoader,
+round-robin epoch loop, _valid_epoch retrieval metrics, monitor/best
+checkpointing, TB events, profile window) had never completed an epoch on
+hardware. This tool builds a real-shape YT-Temporal fixture tree (actual
+mp4s decoded by the C++ decoder), writes a full-size B/16 pretrain config,
+and runs the driver end to end on the chip.
+
+Mirrors the role of the reference's launch recipe
+(/root/reference/v2/train_dist_TVTSv2_ViT_B_16.py + dist-*.json) with
+fixture data standing in for the (unavailable) YTT corpus.
+
+Usage: python tools/trainer_epoch_tpu.py [--out results/trainer_epoch]
+           [--rows 48] [--val_rows 8] [-B 8] [--preset best]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, REPO)
+
+
+def build_ytt_tree(root: str, n_videos: int, rows: int, val_rows: int,
+                   size: int = 240, n_frames: int = 240):
+    """Real mp4s + ASR annotations in the YTT layout (test_cli_train_smoke
+    pattern, at 224-class resolution)."""
+    import cv2
+    import numpy as np
+
+    data_dir = os.path.join(root, "data")
+    meta_root = os.path.join(root, "meta")
+    os.makedirs(meta_root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for k in range(n_videos):
+        rel = f"s0/data/v{k}.mp4"
+        path = os.path.join(data_dir, "videos", rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                            (size, size))
+        base = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+        for i in range(n_frames):
+            frame = np.roll(base, shift=3 * i, axis=1)
+            w.write(frame)
+        w.release()
+        words = [{"word": f"w{k}_{i}", "time": float(i * 0.4)}
+                 for i in range(56)]
+        ann = {"subtitles": words,
+               "denoised": [{"cleanasr": " ".join(w["word"] for w in words)}],
+               "info": {"duration": n_frames / 10.0}}
+        ann_path = os.path.join(data_dir, "videos", "s0", "annotations",
+                                f"v{k}.json")
+        os.makedirs(os.path.dirname(ann_path), exist_ok=True)
+        with open(ann_path, "w") as f:
+            json.dump(ann, f)
+        names.append(rel)
+    train = [names[i % n_videos] for i in range(rows)]
+    val = [names[i % n_videos] for i in range(val_rows)]
+    with open(os.path.join(meta_root, "yttemporal_train.csv"), "w") as f:
+        f.write("Name\n" + "\n".join(train) + "\n")
+    with open(os.path.join(meta_root, "yttemporal_val.csv"), "w") as f:
+        f.write("Name\n" + "\n".join(val) + "\n")
+    return data_dir, meta_root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/trainer_epoch")
+    ap.add_argument("--videos", type=int, default=12)
+    ap.add_argument("--rows", type=int, default=48,
+                    help="train metadata rows (epoch = rows/B steps)")
+    ap.add_argument("--val_rows", type=int, default=8)
+    ap.add_argument("-B", "--batch_size", type=int, default=8)
+    ap.add_argument("--preset", default="best", choices=["default", "best"])
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--timeout", type=int, default=3600)
+    args = ap.parse_args()
+
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    print("building YTT fixture tree (real mp4s)...", flush=True)
+    data_dir, meta_root = build_ytt_tree(
+        os.path.join(out, "fixtures"), args.videos, args.rows, args.val_rows)
+
+    config = {
+        "name": "b16-trainer-epoch-tpu",
+        "arch": {"type": "TVTSv2_B_16", "args": {"load_checkpoint": ""}},
+        "data_loader": [{
+            "type": "ShardedLoader",
+            "args": {
+                "dataset_name": "YTTemporal", "data_dir": data_dir,
+                "reader": "auto", "patches_per_frame": 196,
+                "mask_ratio": 0.5, "shuffle": True, "num_workers": 2,
+                "batch_size": args.batch_size, "split": "train",
+                "subsample": 1, "meta_root": meta_root,
+                "text_params": {"input": "text"},
+                "video_params": {"input_res": 224, "num_frames": 12,
+                                 "loading": "lax"},
+            },
+        }],
+        "loss": {"type": "NormSoftmaxLoss", "args": {"temperature": 0.05}},
+        "metrics": ["t2v_metrics", "v2t_metrics"],
+        "trainer": {
+            "epochs": args.epochs, "save_dir": out, "save_period": 1,
+            "monitor": "min val_loss_0", "init_val": False,
+            "tensorboard": True,
+            "kernels": {"fused": True, "preset": args.preset},
+            "profile_dir": os.path.join(out, "profile"),
+            "profile_steps": [2, 4],
+        },
+        "visualizer": {"type": ""},
+    }
+    cfg_path = os.path.join(out, "pretrain_b16_epoch.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+
+    cmd = [sys.executable, os.path.join(REPO, "scripts/train_dist_TVTSv2.py"),
+           "-c", cfg_path, "--fused_kernels", "--schedule", "6", "8"]
+    print("driver:", " ".join(cmd), flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
+    wall = time.perf_counter() - t0
+    print(f"driver exit={proc.returncode} wall={wall:.1f}s", flush=True)
+    if proc.returncode != 0:
+        sys.exit(proc.returncode)
+
+    # assert the run-dir artifacts the reference contract promises
+    run_root = os.path.join(out, "models", "b16-trainer-epoch-tpu")
+    run_dirs = sorted(os.listdir(run_root))
+    run_dir = os.path.join(run_root, run_dirs[-1])
+    have = sorted(os.listdir(run_dir))
+    print(f"run dir {run_dir}: {have}")
+    assert "config.json" in have
+    assert any(p.startswith("checkpoint-epoch") for p in have), have
+    log_root = os.path.join(out, "log", "b16-trainer-epoch-tpu")
+    log_dir = os.path.join(log_root, sorted(os.listdir(log_root))[-1])
+    logs = sorted(os.listdir(log_dir))
+    print(f"log dir {log_dir}: {logs}")
+    assert "scalars.jsonl" in logs
+    assert any(p.startswith("events.out.tfevents") for p in logs), logs
+    prof_dir = os.path.join(out, "profile")
+    prof = []
+    for r, _, fs in os.walk(prof_dir):
+        prof += [os.path.join(r, p) for p in fs]
+    print(f"profile artifacts: {len(prof)}")
+    summary = {"wall_s": wall, "run_dir": run_dir, "log_dir": log_dir,
+               "artifacts": have, "log_files": logs,
+               "profile_files": len(prof),
+               "steps": args.rows // args.batch_size * args.epochs,
+               "B": args.batch_size, "preset": args.preset}
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
