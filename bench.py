@@ -80,6 +80,9 @@ def main():
         # qkv/proj and MLP fc/proj matmuls; 0 -> auto (3 when T % 3 == 0)
         mmg_env = int(os.environ.get("TVTS_TPU_BENCH_MMG", "0"))
         mmg = mmg_env or None
+        # independent MLP fc/proj grouping (0 -> follow MMG)
+        mlpg_env = int(os.environ.get("TVTS_TPU_BENCH_MLPG", "0"))
+        mlpg = mlpg_env or None
 
         @jax.jit
         def extract(params, video, keep):
@@ -87,7 +90,7 @@ def main():
                 params, cfg, video, keep, kernel_version=kv,
                 time_chunk=tchunk, space_version=sv, space_fpp=sfpp,
                 mlp_chunk=mchunk, need_tokens=toks, scan_blocks=scan,
-                mm_group=mmg)
+                mm_group=mmg, mlp_group=mlpg)
             return pooled
     else:
         @jax.jit

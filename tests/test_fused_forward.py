@@ -239,6 +239,14 @@ def test_fused_forward_mm_group_matches_ungrouped(mmg):
                                atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                atol=1e-6, rtol=1e-6)
+    # the split knob: MLP grouping independent of the time qkv/proj grouping
+    got_p, got_t = space_time_vit_fused_forward(
+        params, cfg, video, keep, dtype=jnp.float32, kernel_version=7,
+        mm_group=mmg, mlp_group=4 if mmg == 2 else 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-6, rtol=1e-6)
 
 
 def test_fused_forward_mm_group_cls_only_and_scan():

@@ -25,10 +25,14 @@ def test_best_preset_reproduces_peak_b16():
 
 
 def test_h14_defaults_are_the_hybrid():
-    # fused space + XLA time (VMEM ceiling at D=1280) + no probs saves
+    # the 12.08 clips/s recipe (PERF r3 late): v2 flash-recompute space +
+    # XLA time + no probs saves; v10r HBM-OOMs sustained runs at D=1280 (r4)
     out = resolve_kernel_config("TVTSv2_H_14", None, env={})
+    assert out["space_mode"] == "pallas"
     assert out["time_mode"] == "xla"
     assert out["save_acts"] is False
+    best = resolve_kernel_config("TVTSv2_H_14", {"preset": "best"}, env={})
+    assert best["space_mode"] == "pallas"
 
 
 def test_config_keys_override_preset():

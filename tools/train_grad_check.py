@@ -57,8 +57,16 @@ def main():
     }
     params = init_params(model, cfg)
 
+    from tvts_tpu.ops.kernel_config import resolve_kernel_config
+
+    # per-arch defaults (B/32: row-major v2 space + time_chunk 64; H/14:
+    # space v2 hybrid + XLA time) with the same TVTS_* env overrides as
+    # train_bench, so the parity check measures the path that actually runs
+    kcfg = resolve_kernel_config(
+        args.arch, {"preset": os.environ.get("TVTS_KERNEL_PRESET", "default")})
+    print(f"kernel config: {kcfg}")
     apply_fused = make_fused_train_apply(model, cfg, num_frames=v.num_frames,
-                                         n_keep=v.n_keep)
+                                         n_keep=v.n_keep, **kcfg)
     loss_xla = make_loss_fn(model)
     loss_fused = make_loss_fn(model, apply_fn=apply_fused)
 

@@ -73,6 +73,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                                  need_tokens: bool = True,
                                  scan_blocks: bool = False,
                                  mm_group: int | None = None,
+                                 mlp_group: int | None = None,
                                  interpret: bool = False):
     """Equivalent to SpaceTimeViT(cfg, dtype).apply({'params': params}, ...).
     Returns (pooled, tokens) per the config's pool_style; with
@@ -114,6 +115,11 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
             mmg = 3 if T % 3 == 0 and lane_pad_gain(n_keep, 3) else 1
         if T % max(mmg, 1):
             mmg = 1
+        # the MLP fc/proj grouping can differ from the time qkv/proj one
+        # (different working-set sizes); defaults to mm_group
+        mlpg = mlp_group if mlp_group is not None else mmg
+        if T % max(mlpg, 1):
+            mlpg = mmg
         if scan_blocks:
             names = (["ln_3.scale", "ln_3.bias", "timeattn.qkv.kernel",
                       "timeattn.qkv.bias", "timeattn.proj.kernel",
@@ -158,7 +164,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                         interpret=interpret)
                     xT, cls = fused_mlp_block_v7(
                         srT, src, ln2s, ln2b, wfc, bfc, wpr, bpr,
-                        act=cfg.act, fpp=mmg, interpret=interpret)
+                        act=cfg.act, fpp=mlpg, interpret=interpret)
                     return (xT, cls), None
                 else:
                     srT, src = fused_space_attention_block_v7(
@@ -166,7 +172,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                         num_heads=cfg.heads, interpret=interpret)
                     xT, cls = fused_mlp_block_v7(
                         srT, src, ln2s, ln2b, wfc, bfc, wpr, bpr,
-                        act=cfg.act, fpp=mmg, interpret=interpret)
+                        act=cfg.act, fpp=mlpg, interpret=interpret)
                 return (xT, cls), None
 
             (xT, cls), _ = jax.lax.scan(body, (xT, cls), tuple(stacked))
@@ -251,7 +257,7 @@ def space_time_vit_fused_forward(params: dict, cfg: VisionConfig,
                 bp["mlp"]["c_fc"]["bias"].astype(dtype),
                 bp["mlp"]["c_proj"]["kernel"].astype(dtype),
                 bp["mlp"]["c_proj"]["bias"].astype(dtype),
-                act=cfg.act, fpp=mmg, interpret=interpret)
+                act=cfg.act, fpp=mlpg, interpret=interpret)
         x = jnp.concatenate(
             [cls, jnp.swapaxes(xT, -1, -2).reshape(B, T * n_keep, D)], axis=1)
         return _pool(params, cfg, x, dtype, need_tokens)

@@ -56,7 +56,12 @@ _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
 KERNEL_DEFAULTS = {
     "TVTSv2_B_16": dict(_BASE),
     "TVTSv2_B_32": dict(_BASE, space_mode="pallas_v2", time_chunk=64),
-    "TVTSv2_H_14": dict(_BASE, time_mode="xla", save_acts=False),
+    # H/14 hybrid per the 12.08 clips/s recipe (PERF r3 late): space v2
+    # flash-recompute ("pallas"), NOT v10r — the v10r frame batching at
+    # D=1280/B=8 HBM-OOMs a sustained run (r4) and measured only a wash
+    # (11.94) as a single step
+    "TVTSv2_H_14": dict(_BASE, space_mode="pallas", time_mode="xla",
+                        save_acts=False),
 }
 
 # Measured-best (PERF.md): may spend HBM on probs saves.
@@ -64,7 +69,8 @@ KERNEL_BEST = {
     "TVTSv2_B_16": dict(_BASE, space_mode="pallas_v10", space_fpp=4,
                         time_mode="pallas_tps"),
     "TVTSv2_B_32": dict(_BASE, space_mode="pallas_v2", time_chunk=64),
-    "TVTSv2_H_14": dict(_BASE, time_mode="xla", save_acts=False),
+    "TVTSv2_H_14": dict(_BASE, space_mode="pallas", time_mode="xla",
+                        save_acts=False),
 }
 
 

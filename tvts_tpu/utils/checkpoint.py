@@ -65,6 +65,9 @@ class CheckpointManager:
         """Mid-epoch step-interval checkpoint (elastic-recovery extension over
         the reference's epoch-only saves, SURVEY §5)."""
         self._ckptr.save(self._path(f"step{int(step)}"), state, force=True)
+        # orbax saves are async; a caller that keeps training (or restores
+        # this tag for a resume-replay check) must not race the finalize
+        self._ckptr.wait_until_finished()
 
     def restore(self, tag: str, target: Any) -> Any:
         return self._ckptr.restore(self._path(tag), target=target)
