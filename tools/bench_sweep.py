@@ -20,7 +20,7 @@ CONFIGS = [
 ]
 
 if len(sys.argv) > 1:
-    CONFIGS = [json.loads(sys.argv[1])]
+    CONFIGS = [json.loads(a) for a in sys.argv[1:]]
 
 results = []
 for cfg in CONFIGS:
