@@ -150,6 +150,33 @@ def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.parametrize("smv", ["densdot", "pvones", "shift"])
+def test_space_v9_softmax_variants_match_base(smv):
+    """The round-4 softmax variants (denominator summed on the MXU via a
+    ones@p / [v;1]@p dot, or the constant-shift timing probe) are exact
+    reformulations — the v9 kernel must match smv='base' to f32 eps."""
+    from tvts_tpu.ops.pallas_block_attention import (
+        fused_space_attention_block_v9,
+    )
+
+    B, T, D, N, H = 2, 6, 64, 24, 4
+    rng = np.random.default_rng(11)
+
+    def a(*s, s_=1.0):
+        return jnp.asarray(rng.standard_normal(s) * s_, jnp.float32)
+
+    args = (a(B, T, D, N), a(B, T, D, N), a(B, 1, D), a(B, 1, D), a(D), a(D),
+            a(D, 3 * D, s_=0.1), a(3 * D, s_=0.1), a(D, D, s_=0.1),
+            a(D, s_=0.1))
+    want = fused_space_attention_block_v9(*args, num_heads=H, fpp=3,
+                                          smv="base", interpret=True)
+    got = fused_space_attention_block_v9(*args, num_heads=H, fpp=3,
+                                         smv=smv, interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-6, rtol=1e-5)
+
+
 @pytest.mark.parametrize("version", [7, 8])
 def test_fused_forward_v7_scan_blocks_matches_unrolled(version):
     """scan_blocks=True (lax.scan over stacked per-block weights — one kernel

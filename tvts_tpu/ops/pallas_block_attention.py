@@ -2660,7 +2660,8 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                                 save_acts: bool = False,
                                 save_probs: bool = False,
                                 row_io: bool = False,
-                                wide_mm: bool = False):
+                                wide_mm: bool = False,
+                                smv: str = "base"):
     def kernel(x_ref, base_ref, cls_ref, basecls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
                o_ref, ocls_ref, *rest):
@@ -2754,18 +2755,46 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
         logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
                                      preferred_element_type=f32)
         cls_l = jnp.sum(q3.astype(f32) * kcB, axis=1)      # [FPP*H, Nq]
-        m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
+        if smv == "shift" and not save_probs:
+            # timing probe: constant shift instead of the per-row lane
+            # max-reduce (softmax is shift-invariant; unsafe only if
+            # logits can overflow exp — measurement, not a default)
+            m = jnp.zeros_like(cls_l)
+        else:
+            m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
         p = jnp.exp(logits - m[..., None])
         p_cls = jnp.exp(cls_l - m)
-        denom = jnp.sum(p, axis=-1) + p_cls
-        if save_probs:
-            N_ = p.shape[-1]
-            p_ref[0] = p.astype(dtype).reshape(FPP, H, -1, N_)
-            pcls_ref[0] = p_cls.reshape(FPP, H, -1)
-            den_ref[0] = denom.reshape(FPP, H, -1)
-        oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
-                                  preferred_element_type=f32)
-        oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom[:, None, :]
+        if smv in ("pvones", "densdot") and not save_probs:
+            # MXU-offloaded denominator: the sum over the N^2 probs rides
+            # the matrix unit instead of a VPU lane-reduce pass.
+            pb = p.astype(dtype)
+            ones_row = jnp.ones((FPP * H, 1, pb.shape[-1]), dtype)
+            if smv == "pvones":
+                # ones row appended to v: the p@v dot's extra output row IS
+                # sum_k p (pays the d -> d+1 sublane pad on the dot)
+                v3a = jnp.concatenate([v3, ones_row], axis=1)
+                oT3a = jax.lax.dot_general(v3a, pb, CONTRACT_NK,
+                                           preferred_element_type=f32)
+                oT3 = oT3a[:, :d, :]
+                den3 = oT3a[:, d:, :]                      # [FPP*H, 1, Nq]
+            else:
+                # separate ones@p batched dot (tiny FLOPs, streams p once)
+                den3 = jax.lax.dot_general(ones_row, pb, CONTRACT_NK,
+                                           preferred_element_type=f32)
+                oT3 = jax.lax.dot_general(v3, pb, CONTRACT_NK,
+                                          preferred_element_type=f32)
+            denom3 = den3 + p_cls[:, None, :]
+            oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom3
+        else:
+            denom = jnp.sum(p, axis=-1) + p_cls
+            if save_probs:
+                N_ = p.shape[-1]
+                p_ref[0] = p.astype(dtype).reshape(FPP, H, -1, N_)
+                pcls_ref[0] = p_cls.reshape(FPP, H, -1)
+                den_ref[0] = denom.reshape(FPP, H, -1)
+            oT3 = jax.lax.dot_general(v3, p.astype(dtype), CONTRACT_NK,
+                                      preferred_element_type=f32)
+            oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom[:, None, :]
         attn_all = oT3.astype(dtype).reshape(FPP, D, -1)   # leading split
 
         if wide_mm:
@@ -2834,6 +2863,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
                                    save_acts: bool = False,
                                    save_probs: bool = False,
                                    wide_mm: bool = False,
+                                   smv: str | None = None,
                                    interpret: bool = False):
     """v7 space sub-path with fpp frames per program (batched [fpp*H]
     attention dot_generals). Same I/O contract as
@@ -2841,7 +2871,13 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
 
     wide_mm: the per-frame qkv/proj matmuls run on the program's fpp frames
     lane-concatenated (round-4 mm_group trick — pays off at fpp 3/6 where
-    the lane pad drops to 8.8%)."""
+    the lane pad drops to 8.8%).
+
+    smv: softmax-variant knob (TVTS_V9_SMV env default) — "base",
+    "densdot"/"pvones" (denominator summed on the MXU instead of a VPU
+    lane-reduce), "shift" (timing probe: no max-reduce)."""
+    if smv is None:
+        smv = os.environ.get("TVTS_V9_SMV", "base")
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2890,7 +2926,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     b3 = bqkv.reshape(3, D)
     outs = pl.pallas_call(
         _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
-                                    save_probs, wide_mm=wide_mm),
+                                    save_probs, wide_mm=wide_mm, smv=smv),
         grid=(B, T // fpp),
         in_specs=[groupT_spec, groupT_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,
