@@ -2755,7 +2755,7 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
         logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
                                      preferred_element_type=f32)
         cls_l = jnp.sum(q3.astype(f32) * kcB, axis=1)      # [FPP*H, Nq]
-        if smv == "shift" and not save_probs:
+        if smv in ("shift", "sd") and not save_probs:
             # timing probe: constant shift instead of the per-row lane
             # max-reduce (softmax is shift-invariant; unsafe only if
             # logits can overflow exp — measurement, not a default)
@@ -2764,7 +2764,7 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
         p = jnp.exp(logits - m[..., None])
         p_cls = jnp.exp(cls_l - m)
-        if smv in ("pvones", "densdot") and not save_probs:
+        if smv in ("pvones", "densdot", "sd") and not save_probs:
             # MXU-offloaded denominator: the sum over the N^2 probs rides
             # the matrix unit instead of a VPU lane-reduce pass.
             pb = p.astype(dtype)
