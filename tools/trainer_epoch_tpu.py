@@ -104,7 +104,10 @@ def main():
                 "batch_size": args.batch_size, "split": "train",
                 "subsample": 1, "meta_root": meta_root,
                 "text_params": {"input": "text"},
-                "video_params": {"input_res": 224, "num_frames": 12,
+                # YTT num_frames is PER CLIP (reference
+                # configs/dist-yt-web-pt-vit-b-16.json:30 uses 3): 4 clips
+                # x 3 frames = the model's 12-frame video
+                "video_params": {"input_res": 224, "num_frames": 3,
                                  "loading": "lax"},
             },
         }],
