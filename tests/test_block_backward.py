@@ -470,20 +470,23 @@ def test_space_subpath_v9_grads(fpp, save_probs):
                                    rtol=2e-3, err_msg=n)
 
 
-@pytest.mark.parametrize("fpp,save_probs,wide_mm",
-                         [(3, True, False), (2, False, False),
-                          (3, True, True), (3, False, True)])
-def test_space_subpath_v10_grads(fpp, save_probs, wide_mm):
+@pytest.mark.parametrize("fpp,save_probs,wide_mm,smv",
+                         [(3, True, False, "base"), (2, False, False, "base"),
+                          (3, True, True, "base"), (3, False, True, "base"),
+                          (3, True, False, "pvones"),
+                          (2, True, True, "densdot")])
+def test_space_subpath_v10_grads(fpp, save_probs, wide_mm, smv):
     """Row-I/O FPP-frame-batched space sub-path (v10 train: v9 kernels with
     in-kernel per-frame transposes) vs the XLA reference. wide_mm: round-4
-    frame-concatenated qkv/proj (+grad) matmuls."""
+    frame-concatenated qkv/proj (+grad) matmuls; smv: MXU-denominator
+    softmax variants threaded through the probs-saving fwd+bwd pair."""
     from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
 
     B, T, N, D = 2, 6, 5, 32
     H = 4
     args = _attn_args(17, B, T, N, D)
     f = make_space_subpath_v10(T, N, H, fpp=fpp, save_probs=save_probs,
-                               wide_mm=wide_mm, interpret=True)
+                               wide_mm=wide_mm, smv=smv, interpret=True)
     ref = _space_ref(T, N, H)
 
     np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(ref(*args)),

@@ -150,7 +150,8 @@ def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
                                atol=1e-6, rtol=1e-6)
 
 
-@pytest.mark.parametrize("smv", ["densdot", "pvones", "shift", "sd"])
+@pytest.mark.parametrize("smv", ["densdot", "pvones", "shift", "sd",
+                                 "clamp", "cd", "cp"])
 def test_space_v9_softmax_variants_match_base(smv):
     """The round-4 softmax variants (denominator summed on the MXU via a
     ones@p / [v;1]@p dot, or the constant-shift timing probe) are exact

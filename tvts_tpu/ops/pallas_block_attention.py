@@ -2760,16 +2760,30 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
             # max-reduce (softmax is shift-invariant; unsafe only if
             # logits can overflow exp — measurement, not a default)
             m = jnp.zeros_like(cls_l)
+            p = jnp.exp(logits - m[..., None])
+            p_cls = jnp.exp(cls_l - m)
+        elif smv in ("clamp", "cd", "cp") and not save_probs:
+            # max-FREE safe softmax: shift-invariance means any constant
+            # shift is exact as long as exp cannot overflow f32 (88.7);
+            # clamping the f32 logits at 80 replaces the per-row lane
+            # max-reduce + broadcast subtract with ONE elementwise min.
+            # Bit-exact vs the shifted form whenever every logit <= 80
+            # (e^80 = 5.5e34 and the <=257-term denominator both fit f32);
+            # above that, rows saturate gracefully instead of overflowing.
+            p = jnp.exp(jnp.minimum(logits, 80.0))
+            p_cls = jnp.exp(jnp.minimum(cls_l, 80.0))
         else:
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
-        p = jnp.exp(logits - m[..., None])
-        p_cls = jnp.exp(cls_l - m)
-        if smv in ("pvones", "densdot", "sd") and not save_probs:
+            p = jnp.exp(logits - m[..., None])
+            p_cls = jnp.exp(cls_l - m)
+        if smv in ("pvones", "densdot", "sd", "cd", "cp"):
             # MXU-offloaded denominator: the sum over the N^2 probs rides
-            # the matrix unit instead of a VPU lane-reduce pass.
+            # the matrix unit instead of a VPU lane-reduce pass.  With
+            # save_probs the MXU denominator is what gets SAVED, so the
+            # backward's saved-p/saved-den normalization stays consistent.
             pb = p.astype(dtype)
             ones_row = jnp.ones((FPP * H, 1, pb.shape[-1]), dtype)
-            if smv == "pvones":
+            if smv in ("pvones", "cp"):
                 # ones row appended to v: the p@v dot's extra output row IS
                 # sum_k p (pays the d -> d+1 sublane pad on the dot)
                 v3a = jnp.concatenate([v3, ones_row], axis=1)
@@ -2784,6 +2798,11 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                 oT3 = jax.lax.dot_general(v3, pb, CONTRACT_NK,
                                           preferred_element_type=f32)
             denom3 = den3 + p_cls[:, None, :]
+            if save_probs:
+                N_ = p.shape[-1]
+                p_ref[0] = pb.reshape(FPP, H, -1, N_)
+                pcls_ref[0] = p_cls.reshape(FPP, H, -1)
+                den_ref[0] = denom3[:, 0, :].reshape(FPP, H, -1)
             oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom3
         else:
             denom = jnp.sum(p, axis=-1) + p_cls
@@ -2875,7 +2894,10 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
 
     smv: softmax-variant knob (TVTS_V9_SMV env default) — "base",
     "densdot"/"pvones" (denominator summed on the MXU instead of a VPU
-    lane-reduce), "shift" (timing probe: no max-reduce)."""
+    lane-reduce), "clamp" (max-free softmax via an 80.0 logit clamp —
+    exact below the f32 exp-overflow margin), "cd"/"cp" (clamp +
+    densdot/pvones), "shift"/"sd" (timing probes: no max-reduce at all,
+    unsafe for large logits)."""
     if smv is None:
         smv = os.environ.get("TVTS_V9_SMV", "base")
     B, T, D, N = xT.shape
@@ -2954,11 +2976,14 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
                                     save_acts: bool = False,
                                     save_probs: bool = False,
                                     wide_mm: bool = False,
+                                    smv: str | None = None,
                                     interpret: bool = False):
     """v9 FPP-frame-batched space kernel with ROW-major tower I/O (the v3
     sub-path contract: x/base [B, 1+T*N, D]); the per-frame [N,D]<->[D,N]
     transposes happen in-kernel (v3 style). Saved activations stay d-major
-    for the v10 backward."""
+    for the v10 backward. smv: softmax-variant knob (see the v9 wrapper)."""
+    if smv is None:
+        smv = os.environ.get("TVTS_V9_SMV", "base")
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     H = num_heads
@@ -3016,7 +3041,7 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     outs = pl.pallas_call(
         _make_space_block_kernel_v9(H, fpp, save_stats, save_acts,
                                     save_probs, row_io=True,
-                                    wide_mm=wide_mm),
+                                    wide_mm=wide_mm, smv=smv),
         grid=(B, T // fpp),
         in_specs=[group_spec, group_spec, cls_spec, cls_spec, vecT_spec,
                   vecT_spec, wqkvT_spec, vecT_spec, vecT_spec, vecT_spec,

@@ -972,38 +972,43 @@ def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True,
         acls3 = aclsT_ref[0].reshape(H, d, 1)              # fp32
         lse3 = lse_ref[0].T                                # [H, 1]
 
+        # Normalization folded out of the N^2 passes (see the v9 backward):
+        # dots consume RAW probs p and the per-query 1/denom rides the
+        # [d, N]-sized operands/results instead.
         if use_probs:
             # forward-saved softmax state: no logits matmul, no exp chain
             recip = 1.0 / den_ref[0, 0]                    # [H, Nq]
-            pn = p_ref[0, 0].astype(f32) * recip[..., None]
-            pn_cls = pcls_ref[0, 0] * recip                # [H, Nq]
-            pn_b = pn.astype(dtype)
+            p_b = p_ref[0, 0]                              # bf16 saved
+            p_f = p_b.astype(f32)
+            pcls_raw = pcls_ref[0, 0]                      # [H, Nq]
         else:
             # recompute probs (head-batched)
             logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
                                          preferred_element_type=f32)
             cls_l = jnp.sum(q3.astype(f32) * kc3, axis=1)  # [H, Nq]
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
-            p = jnp.exp(logits - m[..., None])
-            p_cls = jnp.exp(cls_l - m)
-            denom = jnp.sum(p, axis=-1) + p_cls
-            pn = p / denom[..., None]                      # [H, Nq, Nk] f32
-            pn_cls = p_cls / denom                         # [H, Nq]
-            pn_b = pn.astype(dtype)
+            p_f = jnp.exp(logits - m[..., None])
+            pcls_raw = jnp.exp(cls_l - m)
+            denom = jnp.sum(p_f, axis=-1) + pcls_raw
+            recip = 1.0 / denom
+            p_b = p_f.astype(dtype)
+        pn_cls = pcls_raw * recip                          # [H, Nq]
 
         if use_saved:
             attn_T = attnT_ref[0, 0]
+            o3 = attn_T.astype(f32).reshape(H, d, N)
         else:
-            oT3 = jax.lax.dot_general(v3, pn_b, CONTRACT_NK,
-                                      preferred_element_type=f32) \
-                + vc3 * pn_cls[:, None, :]
-            attn_T = oT3.astype(dtype).reshape(D, N)
+            o3 = (jax.lax.dot_general(v3, p_b, CONTRACT_NK,
+                                      preferred_element_type=f32)
+                  + vc3 * pcls_raw[:, None, :]) * recip[:, None, :]
+            attn_T = o3.astype(dtype).reshape(D, N)
         dwproj_ref[...] += jnp.dot(attn_T, g_p,
                                    preferred_element_type=f32)
         dbproj_ref[...] += jnp.sum(g_p.astype(f32), axis=0, keepdims=True)
 
-        # value grads
-        dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
+        # value grads (raw p with dout pre-scaled by the query-side 1/denom)
+        dout_scaled = (dout3 * recip[:, None, :]).astype(dtype)
+        dv3 = jax.lax.dot_general(dout_scaled, p_b, CONTRACT_Q_LHS2,
                                   preferred_element_type=f32)  # [H, d, Nk]
         dcv_scr[...] += jnp.sum(dout3 * pn_cls[:, None, :], axis=2,
                                 keepdims=True)
@@ -1011,14 +1016,16 @@ def _make_space_bwd_kernel_v3(H: int, use_saved: bool = True,
         dp = jax.lax.dot_general(dout_b, v3, CONTRACT_D,
                                  preferred_element_type=f32)   # [H, Nq, Nk]
         dp_cls = jnp.sum(dout3 * vc3, axis=1)              # [H, Nq]
-        rowsum = jnp.sum(pn * dp, axis=-1) + pn_cls * dp_cls
-        ds = pn * (dp - rowsum[..., None])
+        # flash-delta identity: the pn-weighted rowsum == dout . o (a
+        # d-sublane reduce instead of an N^2 multiply + lane reduce)
+        rowsum = jnp.sum(dout3 * o3, axis=1)               # [H, Nq]
+        e_b = (p_f * (dp - rowsum[..., None])).astype(dtype)
         ds_cls = pn_cls * (dp_cls - rowsum)                # [H, Nq]
-        ds_b = ds.astype(dtype)
-        dq3 = jax.lax.dot_general(k3, ds_b, CONTRACT_NK,
+        dq3 = jax.lax.dot_general(k3, e_b, CONTRACT_NK,
                                   preferred_element_type=f32) \
-            + kc3 * ds_cls[:, None, :]                     # [H, d, Nq]
-        dk3 = jax.lax.dot_general(q3, ds_b, CONTRACT_Q_LHS2,
+            * recip[:, None, :] + kc3 * ds_cls[:, None, :]  # [H, d, Nq]
+        q_scaled = (q3.astype(f32) * recip[:, None, :]).astype(dtype)
+        dk3 = jax.lax.dot_general(q_scaled, e_b, CONTRACT_Q_LHS2,
                                   preferred_element_type=f32)  # [H, d, Nk]
         dck_scr[...] += jnp.sum(q3.astype(f32) * ds_cls[:, None, :], axis=2,
                                 keepdims=True)
@@ -2798,28 +2805,32 @@ def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
         lse3 = lse_ref[0].T                                # [H, 1]
         lseB = jnp.concatenate([lse3] * FPP, axis=0)       # [FPP*H, 1]
 
+        # Normalization is FOLDED out of the N^2 passes: every dot consumes
+        # the RAW (unnormalized) probs p and the 1/denom scale rides the
+        # [d, N]-sized operands/results instead (a per-QUERY factor commutes
+        # with key-axis contractions) — saves ~3 N^2 VPU passes per program
+        # vs materializing pn = p/denom (round 4).
         if use_probs:
-            recip = 1.0 / den_ref[0].reshape(FPP * H, N)
-            pn = p_ref[0].reshape(FPP * H, N, N).astype(f32) \
-                * recip[..., None]
-            pn_cls = pcls_ref[0].reshape(FPP * H, N) * recip
-            pn_b = pn.astype(dtype)
+            recip = 1.0 / den_ref[0].reshape(FPP * H, N)       # [FPPH, Nq]
+            p_b = p_ref[0].reshape(FPP * H, N, N)              # bf16 saved
+            p_f = p_b.astype(f32)
+            pcls_raw = pcls_ref[0].reshape(FPP * H, N)
         else:
             logits = jax.lax.dot_general(q3, k3, CONTRACT_D,
                                          preferred_element_type=f32)
             cls_l = jnp.sum(q3.astype(f32) * kcB, axis=1)
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
-            p = jnp.exp(logits - m[..., None])
-            p_cls = jnp.exp(cls_l - m)
-            denom = jnp.sum(p, axis=-1) + p_cls
-            pn = p / denom[..., None]
-            pn_cls = p_cls / denom
-            pn_b = pn.astype(dtype)
+            p_f = jnp.exp(logits - m[..., None])
+            pcls_raw = jnp.exp(cls_l - m)
+            denom = jnp.sum(p_f, axis=-1) + pcls_raw
+            recip = 1.0 / denom
+            p_b = p_f.astype(dtype)
+        pn_cls = pcls_raw * recip
 
         # attn recompute (no attnT saves) + dwproj per frame
-        oT3 = jax.lax.dot_general(v3, pn_b, CONTRACT_NK,
-                                  preferred_element_type=f32) \
-            + vcB * pn_cls[:, None, :]
+        oT3 = (jax.lax.dot_general(v3, p_b, CONTRACT_NK,
+                                   preferred_element_type=f32)
+               + vcB * pcls_raw[:, None, :]) * recip[:, None, :]
         attn_all = oT3.astype(dtype).reshape(FPP, D, N)
         if wide_mm:
             attn_cat = jnp.concatenate([attn_all[f] for f in range(FPP)],
@@ -2835,21 +2846,27 @@ def _make_space_bwd_kernel_v9(H: int, FPP: int, use_probs: bool = True,
                 dbprojT_ref[...] += jnp.sum(gTs[f].astype(f32), axis=1,
                                             keepdims=True)
 
-        # value / prob / softmax backward (batched)
-        dv3 = jax.lax.dot_general(dout_b, pn_b, CONTRACT_Q_LHS2,
+        # value / prob / softmax backward (batched).  dv consumes raw p with
+        # dout pre-scaled by the query-side 1/denom.
+        dout_scaled = (dout3 * recip[:, None, :]).astype(dtype)
+        dv3 = jax.lax.dot_general(dout_scaled, p_b, CONTRACT_Q_LHS2,
                                   preferred_element_type=f32)
         dcv_B = jnp.sum(dout3 * pn_cls[:, None, :], axis=2, keepdims=True)
         dp = jax.lax.dot_general(dout_b, v3, CONTRACT_D,
                                  preferred_element_type=f32)
         dp_cls = jnp.sum(dout3 * vcB, axis=1)
-        rowsum = jnp.sum(pn * dp, axis=-1) + pn_cls * dp_cls
-        ds = pn * (dp - rowsum[..., None])
+        # flash-delta identity: sum_k pn*dp + pn_cls*dp_cls == dout . o
+        # (o = the normalized attention rows incl. the CLS-key term) — a
+        # d-sublane reduce of tensors already in registers instead of an
+        # N^2 multiply + lane reduce.
+        rowsum = jnp.sum(dout3 * oT3, axis=1)              # [FPP*H, Nq]
+        e_b = (p_f * (dp - rowsum[..., None])).astype(dtype)
         ds_cls = pn_cls * (dp_cls - rowsum)
-        ds_b = ds.astype(dtype)
-        dq3 = jax.lax.dot_general(k3, ds_b, CONTRACT_NK,
+        dq3 = jax.lax.dot_general(k3, e_b, CONTRACT_NK,
                                   preferred_element_type=f32) \
-            + kcB * ds_cls[:, None, :]
-        dk3 = jax.lax.dot_general(q3, ds_b, CONTRACT_Q_LHS2,
+            * recip[:, None, :] + kcB * ds_cls[:, None, :]
+        q_scaled = (q3.astype(f32) * recip[:, None, :]).astype(dtype)
+        dk3 = jax.lax.dot_general(q_scaled, e_b, CONTRACT_Q_LHS2,
                                   preferred_element_type=f32)
         dck_B = jnp.sum(q3.astype(f32) * ds_cls[:, None, :], axis=2,
                         keepdims=True)
@@ -3167,11 +3184,14 @@ def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
                            num_heads: int, fpp: int = 3,
                            save_probs: bool = True,
                            wide_mm: bool = False,
+                           smv: str | None = None,
                            interpret: bool = False):
     """Differentiable FPP-frame-batched space sub-path with ROW tower I/O —
     drop-in for make_space_subpath_v3 (space_mode='pallas_v10'): the v9
     batched-attention kernels + in-kernel per-frame transposes + optional
-    probs-saving backward."""
+    probs-saving backward. smv: softmax-variant knob for the forward
+    (MXU-offloaded denominator; with save_probs the MXU denominator is
+    what the backward consumes)."""
     from tvts_tpu.ops.pallas_block_attention import fused_space_attention_block_v10
 
     T, N, H = num_frames, patches_per_frame, num_heads
@@ -3181,14 +3201,14 @@ def make_space_subpath_v10(num_frames: int, patches_per_frame: int,
         return fused_space_attention_block_v10(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
-            wide_mm=wide_mm, interpret=interpret)
+            wide_mm=wide_mm, smv=smv, interpret=interpret)
 
     def fwd(x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         outs = fused_space_attention_block_v10(
             x, base, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             num_frames=T, patches_per_frame=N, num_heads=H, fpp=fpp,
             save_stats=True, save_acts=True, save_probs=save_probs,
-            wide_mm=wide_mm, interpret=interpret)
+            wide_mm=wide_mm, smv=smv, interpret=interpret)
         out, lse, aclsT = outs[0], outs[1], outs[2]
         acts = tuple(outs[3:6])
         probs = tuple(outs[6:]) if save_probs else None
