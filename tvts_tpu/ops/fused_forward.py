@@ -429,6 +429,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                              layout: str = "row",
                              space_fpp: int | None = None,
                              time_vmem_mb: int = 100,
+                             smv: str | None = None,
                              interpret: bool = False):
     """DIFFERENTIABLE fused tower forward: the two attention sub-paths run the
     v2 megakernels with custom-VJP Pallas backwards (ops/pallas_block_backward);
@@ -542,7 +543,7 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
                                          fpp=fpp,
                                          save_probs=space_mode == "pallas_v10",
                                          wide_mm=lane_pad_gain(n_keep, fpp),
-                                         interpret=interpret)
+                                         smv=smv, interpret=interpret)
     elif space_mode == "pallas_v5":
         # frame-batched row-major kernels (batched per-head dot_generals,
         # big-K weight grads, no in-kernel weight transposes)
@@ -703,6 +704,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            scan_blocks: bool = False, layout: str = "row",
                            space_fpp: int | None = None,
                            time_vmem_mb: int = 100,
+                           smv: str | None = None,
                            interpret: bool = False,
                            mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
@@ -735,7 +737,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                                          layout=layout,
                                          space_fpp=space_fpp,
                                          time_vmem_mb=time_vmem_mb,
-                                         interpret=interpret)
+                                         smv=smv, interpret=interpret)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 

@@ -46,11 +46,14 @@ _KEYS = (
     ("save_acts", "save_acts", "TVTS_SAVE_ACTS", lambda s: s == "1"),
     ("scan_blocks", "scan", "TVTS_SCAN", lambda s: s == "1"),
     ("time_vmem_mb", "time_vmem_mb", "TVTS_TIME_VMEM_MB", int),
+    # softmax-variant knob for the v9/v10 space kernels (PERF.md round 4:
+    # MXU-offloaded denominator / max-free clamp softmax)
+    ("smv", "smv", "TVTS_V9_SMV", str),
 )
 
 _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
              layout="row", space_fpp=None, time_chunk=128, save_acts=True,
-             scan_blocks=False, time_vmem_mb=100)
+             scan_blocks=False, time_vmem_mb=100, smv=None)
 
 # Memory-neutral defaults (safe at any measured batch).
 KERNEL_DEFAULTS = {
