@@ -2899,7 +2899,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     densdot/pvones), "shift"/"sd" (timing probes: no max-reduce at all,
     unsafe for large logits)."""
     if smv is None:
-        smv = os.environ.get("TVTS_V9_SMV", "base")
+        smv = os.environ.get("TVTS_V9_SMV", "cp")  # round-4 default: clamp+pvones (PERF.md)
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2983,7 +2983,7 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     transposes happen in-kernel (v3 style). Saved activations stay d-major
     for the v10 backward. smv: softmax-variant knob (see the v9 wrapper)."""
     if smv is None:
-        smv = os.environ.get("TVTS_V9_SMV", "base")
+        smv = os.environ.get("TVTS_V9_SMV", "cp")  # round-4 default: clamp+pvones (PERF.md)
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     H = num_heads
