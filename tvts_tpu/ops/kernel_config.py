@@ -47,7 +47,11 @@ _KEYS = (
     ("scan_blocks", "scan", "TVTS_SCAN", lambda s: s == "1"),
     ("time_vmem_mb", "time_vmem_mb", "TVTS_TIME_VMEM_MB", int),
     # softmax-variant knob for the v9/v10 space kernels (PERF.md round 4:
-    # MXU-offloaded denominator / max-free clamp softmax)
+    # MXU-offloaded denominator / max-free clamp softmax). None defers to
+    # the kernel wrappers' own defaults, which are asymmetric on purpose:
+    # extraction (v9) uses "cp" (clamp-shift — exact while logits <= 80,
+    # true at inference scale), training (v10) uses "pvones" (exact
+    # max-shift at any logit magnitude).
     ("smv", "smv", "TVTS_V9_SMV", str),
 )
 

@@ -2983,7 +2983,11 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     transposes happen in-kernel (v3 style). Saved activations stay d-major
     for the v10 backward. smv: softmax-variant knob (see the v9 wrapper)."""
     if smv is None:
-        smv = os.environ.get("TVTS_V9_SMV", "cp")  # round-4 default: clamp+pvones (PERF.md)
+        # TRAIN default is pvones, not cp: the clamp-at-80 shift is exact
+        # only while every logit <= 80 — true for inference-scale weights,
+        # but training weights evolve, so the train path keeps the exact
+        # max-shift + MXU denominator (PERF.md round 4).
+        smv = os.environ.get("TVTS_V9_SMV", "pvones")
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     H = num_heads
