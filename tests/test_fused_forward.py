@@ -151,7 +151,7 @@ def test_fused_forward_v9_frame_batched_space_matches_v7(fpp):
 
 
 @pytest.mark.parametrize("smv", ["densdot", "pvones", "shift", "sd",
-                                 "clamp", "cd", "cp"])
+                                 "clamp", "cd", "cp", "cpr"])
 def test_space_v9_softmax_variants_match_base(smv):
     """The round-4 softmax variants (denominator summed on the MXU via a
     ones@p / [v;1]@p dot, or the constant-shift timing probe) are exact
@@ -176,6 +176,57 @@ def test_space_v9_softmax_variants_match_base(smv):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("smv", ["clamp", "cp"])
+def test_time_v7_softmax_variants_match_base(smv):
+    """The time kernel's max-free softmax variants (round-4 cont.: clamp-at-80
+    per-location softmax; "cp" adds reciprocal-multiply normalization) must
+    match smv='base' to f32 eps at bounded logits."""
+    from tvts_tpu.ops.pallas_block_attention import (
+        fused_time_attention_block_v7,
+    )
+
+    B, T, D, N, H = 2, 6, 64, 24, 4
+    rng = np.random.default_rng(12)
+
+    def a(*s, s_=1.0):
+        return jnp.asarray(rng.standard_normal(s) * s_, jnp.float32)
+
+    args = (a(B, T, D, N), a(B, 1, D), a(D), a(D),
+            a(D, 3 * D, s_=0.1), a(3 * D, s_=0.1), a(D, D, s_=0.1),
+            a(D, s_=0.1))
+    want = fused_time_attention_block_v7(*args, num_heads=H,
+                                         smv="base", interpret=True)
+    got = fused_time_attention_block_v7(*args, num_heads=H,
+                                        smv=smv, interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("smv", ["clamp", "cp"])
+def test_time_v2_softmax_variants_match_base(smv):
+    """Same max-free variants on the row-major v2 time kernel (the B/32
+    extraction path)."""
+    from tvts_tpu.ops.pallas_block_attention import (
+        fused_time_attention_block_v2,
+    )
+
+    B, T, N, D, H = 2, 6, 24, 64, 4
+    rng = np.random.default_rng(13)
+
+    def a(*s, s_=1.0):
+        return jnp.asarray(rng.standard_normal(s) * s_, jnp.float32)
+
+    args = (a(B, 1 + T * N, D), a(D), a(D), a(D, 3 * D, s_=0.1),
+            a(3 * D, s_=0.1), a(D, D, s_=0.1), a(D, s_=0.1))
+    kw = dict(num_frames=T, patches_per_frame=N, num_heads=H, chunk=N,
+              interpret=True)
+    want = fused_time_attention_block_v2(*args, smv="base", **kw)
+    got = fused_time_attention_block_v2(*args, smv=smv, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
 
 
 @pytest.mark.parametrize("version", [7, 8])

@@ -17,7 +17,7 @@ Per-arch tables (PERF.md decision tables, round 3):
     arch         preset    space_mode   sfpp  time_mode   save  notes
     -----------  --------  -----------  ----  ----------  ----  -------------------------
     TVTSv2_B_16  default   pallas_v10r  3     pallas      yes   memory-neutral, 90.5 c/s
-    TVTSv2_B_16  best      pallas_v10   4     pallas_tps  yes   96.8 c/s @ B=20 (+~1 GB HBM probs saves)
+    TVTSv2_B_16  best      pallas_v10   4     pallas_tps  yes   100.8 c/s @ B=20 (+~1 GB HBM probs saves; flash-delta bwds r4)
     TVTSv2_B_32  default   pallas_v2    -     pallas      yes   N=49 lanes pad d-major; row v2 wins
     TVTSv2_B_32  best      pallas_v2    -     pallas      yes   same (no probs-save win measured yet)
     TVTSv2_H_14  default   pallas       -     xla         no    fused time MEASURED slower at D=1280 (PERF r4)

@@ -454,7 +454,8 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
                                save_stats: bool = False,
                                save_acts: bool = False,
                                save_transposed: bool = False,
-                               save_probs: bool = False):
+                               save_probs: bool = False,
+                               smv: str = "base"):
     def kernel(x_ref, cls_ref, ln_s_ref, ln_b_ref,
                wqkv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                o_ref, ocls_ref, *rest):
@@ -547,21 +548,34 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         cv4 = vc.T.reshape(H, d, 1)
         qc4 = q_cls.T.reshape(H, d, 1)
 
+        # smv (extraction-only — gated on the train-capable saves staying
+        # exact): "clamp"/"cp" = max-free min-at-80 per-location softmax;
+        # "cp" adds reciprocal-multiply normalization (see the v7 kernel)
+        clamp = (smv in ("clamp", "cp")
+                 and not save_stats and not save_probs)
+        recip = smv == "cp" and not save_stats and not save_probs
         outs_t = []
         for t in range(T):
             qt = q4[:, t]                                  # [H, d, Nc]
             l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
             cls_l = jnp.sum(qt * ck4, axis=1)[:, None]     # [H, 1, Nc]
             full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
-            m = jnp.max(full, axis=1, keepdims=True)
-            p = jnp.exp(full - m)
+            if clamp:
+                p = jnp.exp(jnp.minimum(full, 80.0))
+            else:
+                m = jnp.max(full, axis=1, keepdims=True)
+                p = jnp.exp(full - m)
             denom = jnp.sum(p, axis=1, keepdims=True)      # [H, 1, Nc]
             if save_probs:
                 # NORMALIZED probs for the backward (it consumes pn only)
                 p_ref[0, t] = (p / denom).astype(dtype)
             out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
             out_t = out_t + p[:, 0][:, None, :] * cv4
-            outs_t.append((out_t / denom).astype(dtype).reshape(D, Nc))
+            if recip:
+                out_t = out_t * (1.0 / denom)
+            else:
+                out_t = out_t / denom
+            outs_t.append(out_t.astype(dtype).reshape(D, Nc))
 
         # --- CLS row: online accumulation over this chunk's keys ----------
         lc_all = jnp.sum(k4 * qc4[:, None], axis=2)        # [H, T, Nc]
@@ -614,9 +628,15 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                   save_transposed: bool = False,
                                   save_probs: bool = False,
                                   vmem_limit_mb: int = 100,
+                                  smv: str | None = None,
                                   interpret: bool = False):
     """Whole time sub-path INCLUDING residual: returns x + timeattn(ln(x)) as
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
+
+    smv (TVTS_TIME_SMV env default): per-location softmax variant — "base",
+    "clamp" (max-free min-at-80), "cp" (clamp + reciprocal-multiply). Applies
+    only when save_stats/save_probs are off (the extraction path); the
+    train-capable saves always run the exact base math.
 
     save_acts (with save_stats): also emits q/k/v and the pre-projection
     attention output ([B,T,Np,D] each, q pre-scaled) so the backward skips
@@ -624,6 +644,8 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     save_transposed: the saved activations come back d-major ([B,T,D,Np])
     for the v3 backward, written from the head tiles the forward already
     holds (leading-dim transposes only)."""
+    if smv is None:
+        smv = os.environ.get("TVTS_TIME_SMV", "cp")
     B, S, D = x.shape
     T, N = num_frames, patches_per_frame
     assert S == 1 + T * N
@@ -678,7 +700,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                 (B, T, num_heads, T + 1, Np), x.dtype)]
     outs = pl.pallas_call(
         _make_time_block_kernel_v2(num_heads, T, N, save_stats, save_acts,
-                                   save_transposed, save_probs),
+                                   save_transposed, save_probs, smv),
         grid=(B, Np // chunk),
         in_specs=[chunk_spec, cls_spec, vec_spec, vec_spec, wqkv_spec,
                   vec_spec, vec_spec, vec_spec, wproj_spec, vec_spec],
@@ -2246,7 +2268,8 @@ def fused_spacemlp_block_v7(xT, baseT, cls, basecls, ln_scale, ln_bias,
 def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
                                save_acts: bool = False,
                                save_attn: bool = True,
-                               mm_group: int = 1):
+                               mm_group: int = 1,
+                               smv: str = "base"):
     def kernel(x_ref, cls_ref, ln_sT_ref, ln_bT_ref,
                wqkvT_ref, bqT_ref, bkT_ref, bvT_ref, wprojT_ref, bprojT_ref,
                o_ref, ocls_ref, *rest):
@@ -2332,18 +2355,35 @@ def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
             acc_scr[...] = vc3                             # [H, d, 1]
 
         # ---- per-location time attention (H-leading, v2/v4 math) -----------
+        # smv (extraction-only: gated on not save_stats so the train-capable
+        # variant stays exact): "clamp"/"cp" replace the per-location
+        # (T+1)-sublane max-reduce + broadcast subtract with ONE elementwise
+        # min at 80.0 (exact by shift invariance while every logit <= 80;
+        # e^80 and the 13-term denominator both fit f32 — the same safe
+        # max-free trick as the v9 space kernel). "cp" additionally rewrites
+        # the [H,d,Nc] broadcast divide as reciprocal-multiply (d x fewer
+        # VPU divides; two roundings instead of one — bf16-band change).
+        clamp = smv in ("clamp", "cp") and not save_stats
+        recip = smv == "cp" and not save_stats
         outs_t = []
         for t in range(T):
             qt = q4[:, t]                                  # [H, d, Nc]
             l = jnp.sum(qt[:, None] * k4, axis=2)          # [H, T, Nc]
             cls_l = jnp.sum(qt * kc3, axis=1)[:, None]     # [H, 1, Nc]
             full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
-            m = jnp.max(full, axis=1, keepdims=True)
-            p = jnp.exp(full - m)
+            if clamp:
+                p = jnp.exp(jnp.minimum(full, 80.0))
+            else:
+                m = jnp.max(full, axis=1, keepdims=True)
+                p = jnp.exp(full - m)
             denom = jnp.sum(p, axis=1, keepdims=True)
             out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
             out_t = out_t + p[:, 0][:, None, :] * vc3
-            outs_t.append((out_t / denom).astype(dtype).reshape(D, -1))
+            if recip:
+                out_t = out_t * (1.0 / denom)
+            else:
+                out_t = out_t / denom
+            outs_t.append(out_t.astype(dtype).reshape(D, -1))
 
         # ---- CLS row: online accumulation (all lanes valid: Nc | N) --------
         lc_all = jnp.sum(k4 * qc3[:, None], axis=2)        # [H, T, Nc]
@@ -2398,6 +2438,7 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
                                   save_acts: bool = False,
                                   save_attn: bool = True,
                                   mm_group: int = 1,
+                                  smv: str | None = None,
                                   interpret: bool = False):
     """d-major time sub-path incl. residual. xT: [B,T,D,N]; cls: [B,1,D].
     chunk must divide N (defaults to N if it does not) — padded lanes must
@@ -2406,7 +2447,15 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
 
     mm_group > 1 (requires mm_group | T): the per-frame qkv/proj matmuls
     run on mm_group frames lane-concatenated ([3D,D]@[D,g*Nc]) — larger
-    lane tiles at a smaller pad (see kernel note; extraction fast path)."""
+    lane tiles at a smaller pad (see kernel note; extraction fast path).
+
+    smv: per-location softmax variant, TVTS_TIME_SMV env default —
+    "base" (exact max-shift), "clamp" (max-free min-at-80, exact while
+    every logit <= 80), "cp" (clamp + reciprocal-multiply normalize).
+    Applies ONLY when save_stats=False (the extraction path); the
+    train-capable save_stats variant always runs the exact base math."""
+    if smv is None:
+        smv = os.environ.get("TVTS_TIME_SMV", "cp")
     B, T, D, N = xT.shape
     H = num_heads
     d = D // H
@@ -2445,7 +2494,7 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
     b3 = bqkv.reshape(3, D)
     outs = pl.pallas_call(
         _make_time_block_kernel_v7(H, T, save_stats, save_acts, save_attn,
-                                   mm_group),
+                                   mm_group, smv),
         grid=(B, N // chunk),
         in_specs=[chunkT_spec, cls_spec, vecT_spec, vecT_spec, wqkvT_spec,
                   vecT_spec, vecT_spec, vecT_spec, wprojT_spec, vecT_spec],
@@ -2762,7 +2811,7 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
             m = jnp.zeros_like(cls_l)
             p = jnp.exp(logits - m[..., None])
             p_cls = jnp.exp(cls_l - m)
-        elif smv in ("clamp", "cd", "cp") and not save_probs:
+        elif smv in ("clamp", "cd", "cp", "cpr") and not save_probs:
             # max-FREE safe softmax: shift-invariance means any constant
             # shift is exact as long as exp cannot overflow f32 (88.7);
             # clamping the f32 logits at 80 replaces the per-row lane
@@ -2776,14 +2825,14 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
             p = jnp.exp(logits - m[..., None])
             p_cls = jnp.exp(cls_l - m)
-        if smv in ("pvones", "densdot", "sd", "cd", "cp"):
+        if smv in ("pvones", "densdot", "sd", "cd", "cp", "cpr"):
             # MXU-offloaded denominator: the sum over the N^2 probs rides
             # the matrix unit instead of a VPU lane-reduce pass.  With
             # save_probs the MXU denominator is what gets SAVED, so the
             # backward's saved-p/saved-den normalization stays consistent.
             pb = p.astype(dtype)
             ones_row = jnp.ones((FPP * H, 1, pb.shape[-1]), dtype)
-            if smv in ("pvones", "cp"):
+            if smv in ("pvones", "cp", "cpr"):
                 # ones row appended to v: the p@v dot's extra output row IS
                 # sum_k p (pays the d -> d+1 sublane pad on the dot)
                 v3a = jnp.concatenate([v3, ones_row], axis=1)
@@ -2803,7 +2852,13 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                 p_ref[0] = pb.reshape(FPP, H, -1, N_)
                 pcls_ref[0] = p_cls.reshape(FPP, H, -1)
                 den_ref[0] = denom3[:, 0, :].reshape(FPP, H, -1)
-            oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom3
+            if smv == "cpr" and not save_probs:
+                # "cpr" = cp + reciprocal-multiply normalize: one [.,1,Nq]
+                # reciprocal broadcast-multiplied over d sublanes instead of
+                # d VPU divides per lane (two roundings — bf16-band change)
+                oT3 = (oT3 + vcB * p_cls[:, None, :]) * (1.0 / denom3)
+            else:
+                oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom3
         else:
             denom = jnp.sum(p, axis=-1) + p_cls
             if save_probs:
@@ -2896,7 +2951,8 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
     "densdot"/"pvones" (denominator summed on the MXU instead of a VPU
     lane-reduce), "clamp" (max-free softmax via an 80.0 logit clamp —
     exact below the f32 exp-overflow margin), "cd"/"cp" (clamp +
-    densdot/pvones), "shift"/"sd" (timing probes: no max-reduce at all,
+    densdot/pvones), "cpr" (cp + reciprocal-multiply normalize — d x fewer
+    VPU divides), "shift"/"sd" (timing probes: no max-reduce at all,
     unsafe for large logits)."""
     if smv is None:
         smv = os.environ.get("TVTS_V9_SMV", "cp")  # round-4 default: clamp+pvones (PERF.md)

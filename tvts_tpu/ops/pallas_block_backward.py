@@ -829,10 +829,13 @@ def make_time_subpath(num_frames: int, patches_per_frame: int, num_heads: int,
 
     @jax.custom_vjp
     def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        # smv pinned to "base": the undifferentiated primal must compute the
+        # same function as fwd (whose saves force the exact base softmax) —
+        # the extraction-only clamp default must not leak in here via env
         return fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
             patches_per_frame=N, num_heads=H, chunk=chunk,
-            vmem_limit_mb=vmem_limit_mb, interpret=interpret)
+            vmem_limit_mb=vmem_limit_mb, smv="base", interpret=interpret)
 
     def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         outs = fused_time_attention_block_v2(
@@ -1523,9 +1526,11 @@ def make_time_subpath_v3(num_frames: int, patches_per_frame: int,
 
     @jax.custom_vjp
     def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        # smv pinned to "base" — must match fwd's exact save-path math
         return fused_time_attention_block_v2(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_frames=T,
-            patches_per_frame=N, num_heads=H, chunk=chunk, interpret=interpret)
+            patches_per_frame=N, num_heads=H, chunk=chunk, smv="base",
+            interpret=interpret)
 
     def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         out, lse, acls, qT, kT, vT, attnT = fused_time_attention_block_v2(
@@ -2514,9 +2519,10 @@ def make_time_subpath_v7(num_heads: int, chunk: int | None = None,
 
     @jax.custom_vjp
     def f(xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
+        # smv pinned to "base" — must match fwd's exact save-path math
         return fused_time_attention_block_v7(
             xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-            num_heads=H, chunk=chunk, interpret=interpret)
+            num_heads=H, chunk=chunk, smv="base", interpret=interpret)
 
     def fwd(xT, cls, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         outs = fused_time_attention_block_v7(
