@@ -28,10 +28,13 @@ def main():
     ap.add_argument("--schedule", type=int, nargs="*", default=[6, 8])
     ap.add_argument("--fsdp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True, help="--no-bf16 runs f32 (exactness tests)")
     ap.add_argument("--fused_kernels", action="store_true",
-                    help="video tower via the Pallas fwd+bwd megakernels "
-                         "(single-chip dp only; grads parity-tested)")
+                    help="video tower via the Pallas fwd+bwd megakernels; "
+                         "runs under the dp/fsdp mesh via shard_map when the "
+                         "data axes exceed 1 (grads parity-tested, loss "
+                         "equality vs the XLA path in tests/test_fused_sharded)")
     ap.add_argument("-lr", "--learning_rate", type=float, default=None)
     ap.add_argument("-bs", "--batch_size", type=int, default=None)
     ap.add_argument("--clip_init", default=None,
@@ -138,9 +141,12 @@ def main():
             # per-arch preset tables in ops/kernel_config.py) with the
             # TVTS_* env vars as sweep-time overrides
             kcfg = resolve_kernel_config(arch, tcfg.get("kernels"))
+            # pass the mesh so the fused tower shard_maps over the dp/fsdp
+            # data axes (the wrapper is skipped automatically when every
+            # data axis is size 1 — plain jit on a single chip)
             apply_fn = make_fused_train_apply(
                 model, cfg, num_frames=cfg.vision.num_frames,
-                n_keep=cfg.vision.n_keep, **kcfg)
+                n_keep=cfg.vision.n_keep, dtype=dtype, mesh=mesh, **kcfg)
             print(f"fused Pallas train kernels enabled: {kcfg}")
         trainer = Trainer(model, params, tx, loaders, val_loaders,
                           apply_fn=apply_fn,

@@ -99,6 +99,73 @@ def test_sharded_fused_full_train_step():
                                rtol=1e-6)
 
 
+def test_sharded_fused_h14_structure():
+    """H/14-GEOMETRY sharding contract (VERDICT r4 #8): openclip pool, causal
+    gelu text, mask 0.7, D=128, the H/14 hybrid kernel recipe (fused v2
+    flash-recompute space + XLA-remat time, save_acts=False — the 12.08
+    clips/s preset, ops/kernel_config.py) under a dp2 x fsdp2 mesh. Loss and
+    grads must match the unsharded fused path. LayerScale stays off as in
+    the shipped H/14 config (the fused path rejects ls_init, and
+    /root/reference/v2/model/video_encoder_ViT_H_14.py:227-294 only builds
+    LayerScale when init_values is set)."""
+    import dataclasses
+
+    from tvts_tpu.models.configs import (SortConfig, TextConfig, TVTSv2Config,
+                                         VisionConfig)
+
+    cfg = TVTSv2Config(
+        name="tiny_h14",
+        vision=VisionConfig(input_resolution=64, patch_size=16, width=128,
+                            layers=2, heads=4, output_dim=64, num_frames=4,
+                            mask_ratio=0.75, act="gelu",
+                            pool_style="openclip"),
+        text=TextConfig(context_length=16, vocab_size=120, width=64, layers=2,
+                        heads=4, output_dim=64, act="gelu"),
+        sort=SortConfig(embed_dim=64, num_heads=4, num_classes=4),
+    )
+    batch = make_batch(cfg, B=8)
+    model = TVTSv2(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["video"][:1],
+                        batch["text_ids"][: cfg.num_clips],
+                        batch["keep_ind"][:1])["params"]
+    mesh = create_mesh(dp=2, fsdp=2, devices=jax.devices()[:4])
+
+    kw = dict(dtype=jnp.float32, space_mode="pallas", time_mode="xla",
+              save_acts=False, interpret=True)
+    mk = dict(model=model, cfg=cfg, num_frames=cfg.vision.num_frames,
+              n_keep=cfg.vision.n_keep)
+    loss_plain = make_loss_fn(model, apply_fn=make_fused_train_apply(**mk, **kw))
+    loss_sharded = make_loss_fn(model, apply_fn=make_fused_train_apply(
+        **mk, **kw, mesh=mesh))
+
+    (l_p, _), g_p = jax.value_and_grad(loss_plain, has_aux=True)(params, batch)
+    with mesh:
+        (l_s, _), g_s = jax.jit(jax.value_and_grad(loss_sharded,
+                                                   has_aux=True))(
+            shard_params(params, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(l_s), float(l_p), rtol=1e-6)
+    flat_p = jax.tree_util.tree_flatten_with_path(g_p)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(g_s)[0]
+    for (path, a), (_, b) in zip(flat_s, flat_p):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_fused_train_rejects_layerscale_config():
+    """ls_init configs must be rejected, not silently dropped (the fused
+    block_weights never read the ls_* gammas)."""
+    import dataclasses
+
+    cfg, model, params, batch = _setup(B=2)
+    ls_cfg = dataclasses.replace(cfg, vision=dataclasses.replace(
+        cfg.vision, ls_init=1e-5))
+    with pytest.raises(NotImplementedError, match="LayerScale"):
+        make_fused_train_apply(model=model, cfg=ls_cfg,
+                               num_frames=ls_cfg.vision.num_frames,
+                               n_keep=ls_cfg.vision.n_keep, **FUSED_KW)
+
+
 def test_sharded_fused_no_keep_ind():
     """mask_ratio 0 (B/32-style): keep_ind is None through the shard_map."""
     cfg, model, params, batch = _setup(B=8)

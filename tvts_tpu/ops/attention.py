@@ -86,6 +86,43 @@ def divided_space_time_attention(
     return jnp.concatenate([cls_out, out], axis=2)
 
 
+def divided_attention_max_logit(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    num_frames: int,
+    patches_per_frame: int,
+    mode: str,
+) -> jnp.ndarray:
+    """Exact max attention logit over the same groups as
+    divided_space_time_attention (CLS global row + per-group logits including
+    the spliced CLS column). q pre-scaled like the attention itself.
+
+    Audit hook for the smv="cp" clamp softmax (pallas_block_attention.
+    SMV_CLAMP=70, ops/kernel_config.py): the clamp is exact only while every
+    logit <= 70; this reports the actual per-call max on a given checkpoint
+    so the rule "max logit > 64 -> use smv='pvones'" can be checked instead
+    of assumed. Scalar f32 out.
+    """
+    B, H, S, d = q.shape
+    T, N = num_frames, patches_per_frame
+    assert S == 1 + T * N, f"token count {S} != 1 + {T}*{N}"
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+
+    cls_row = jnp.einsum("bhd,bhjd->bhj", q[:, :, 0], k)  # CLS attends to all
+    cls_k = k[:, :, 0]
+    q5 = q[:, :, 1:].reshape(B, H, T, N, d)
+    k5 = k[:, :, 1:].reshape(B, H, T, N, d)
+    cls_col = jnp.einsum("bhtnd,bhd->bhtn", q5, cls_k)
+    if mode == "space":
+        logits = jnp.einsum("bhtnd,bhtmd->bhtnm", q5, k5)
+    elif mode == "time":
+        logits = jnp.einsum("bhtnd,bhsnd->bhtns", q5, k5)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return jnp.maximum(jnp.maximum(cls_row.max(), cls_col.max()), logits.max())
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """[B, S, D] -> [B, H, S, d]."""
     B, S, D = x.shape

@@ -457,6 +457,14 @@ def make_fused_train_forward(cfg: VisionConfig, num_frames: int, n_keep: int,
 
     if layout not in ("row", "dmajor"):
         raise ValueError(f"layout {layout!r} not in ('row', 'dmajor')")
+    if cfg.ls_init is not None:
+        # the fused block_weights read ln/attn/mlp params only — a LayerScale
+        # config would silently skip the ls_* gammas (wrong forward, zero
+        # grads). No shipped config enables LayerScale (H/14 ships
+        # ls_init=None, models/configs.py); use the XLA path for one.
+        raise NotImplementedError(
+            "fused train kernels do not support LayerScale (cfg.ls_init "
+            "set); run the XLA path for ls configs")
     if layout == "dmajor":
         return _make_dmajor_train_forward(cfg, num_frames, n_keep,
                                           dtype=dtype, time_chunk=time_chunk,

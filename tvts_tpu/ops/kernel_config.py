@@ -27,6 +27,14 @@ Round 4 note: the v2 time backward now FITS at D=1280 (time_vmem_mb=120,
 time_chunk<=32 — the 100 MB ceiling was a soft compiler budget), but it
 measures 63.8 ms vs 57.5 for xla+remat per 8-chain (tools/h14_time_probe.py),
 so H/14 keeps time_mode="xla" on the merits, not on a compile blocker.
+
+Clamp-safety rule (round 5): the extraction default smv="cp" clamps attention
+logits at SMV_CLAMP=70 — exact only while every logit <= 70. Before trusting
+it on a NEW checkpoint, run ``python tools/logit_audit.py --arch <arch>
+--checkpoint <ckpt>``; if any layer's max logit exceeds 64 (the margin), set
+``trainer.kernels.smv = "pvones"`` / ``TVTS_V9_SMV=pvones`` — exact at any
+logit magnitude for ~9% extraction throughput. Fresh-init B/16 audits far
+below the margin (PERF.md round 5); training paths always pin exact variants.
 """
 
 from __future__ import annotations
@@ -49,15 +57,19 @@ _KEYS = (
     # softmax-variant knob for the v9/v10 space kernels (PERF.md round 4:
     # MXU-offloaded denominator / max-free clamp softmax). None defers to
     # the kernel wrappers' own defaults, which are asymmetric on purpose:
-    # extraction (v9) uses "cp" (clamp-shift — exact while logits <= 80,
+    # extraction (v9) uses "cp" (clamp-shift — exact while logits <= 70,
     # true at inference scale), training (v10) uses "pvones" (exact
     # max-shift at any logit magnitude).
     ("smv", "smv", "TVTS_V9_SMV", str),
+    # interpret=True runs the Pallas kernels via the interpreter (CPU-device
+    # test runs — the CLI smoke tests drive the production script on the
+    # 8-virtual-CPU mesh this way; never set on real TPU runs)
+    ("interpret", "interpret", "TVTS_INTERPRET", lambda s: s == "1"),
 )
 
 _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
              layout="row", space_fpp=None, time_chunk=128, save_acts=True,
-             scan_blocks=False, time_vmem_mb=100, smv=None)
+             scan_blocks=False, time_vmem_mb=100, smv=None, interpret=False)
 
 # Memory-neutral defaults (safe at any measured batch).
 KERNEL_DEFAULTS = {

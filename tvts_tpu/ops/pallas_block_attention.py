@@ -37,6 +37,22 @@ def _compiler_params(mb: int | None = None) -> pltpu.CompilerParams:
         vmem_limit_bytes=(mb or VMEM_LIMIT_MB) * 1024 * 1024)
 
 
+# Max-free softmax clamp (smv "clamp"/"cd"/"cp"/"cpr"): logits are
+# elementwise-min'd here instead of max-shifted. Exact by shift invariance
+# while every logit <= this value; rows saturate gracefully above. 70 (not
+# the f32 exp-overflow margin 88.7, and not the round-4 80): the p@v
+# NUMERATOR must also fit f32 — (N+1) * e^c * max|v| <= 3.4e38 needs
+# c < 78.8 at extraction N=197, |v|~100, which round 4's 80 violated
+# (measured NaN under heavy saturation, round 5). c=70 bounds the numerator
+# at ~5e34 with |v| headroom to 1e4. Audit rule: tools/logit_audit.py,
+# threshold SMV_CLAMP - 6.
+SMV_CLAMP = 70.0
+# Denominator guard for the clamp variants only: rounds away in f32 for any
+# healthy denominator (>= ~1e-23) and turns the pathological all-logits-
+# underflow row (exp flushed to 0 -> 0/0 NaN) into an exact 0 output.
+SMV_DENOM_GUARD = 1e-30
+
+
 def lane_pad_gain(n: int, g: int) -> bool:
     """True when lane-concatenating g tiles of n lanes pays a smaller MXU
     lane pad than per-tile matmuls (the round-4 mm_group gate): e.g. n=196
@@ -549,11 +565,13 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
         qc4 = q_cls.T.reshape(H, d, 1)
 
         # smv (extraction-only — gated on the train-capable saves staying
-        # exact): "clamp"/"cp" = max-free min-at-80 per-location softmax;
-        # "cp" adds reciprocal-multiply normalization (see the v7 kernel)
-        clamp = (smv in ("clamp", "cp")
-                 and not save_stats and not save_probs)
-        recip = smv == "cp" and not save_stats and not save_probs
+        # exact, INCLUDING save_acts: a save_acts-only caller still requests
+        # train-grade activations): "clamp"/"cp" = max-free min-at-SMV_CLAMP
+        # per-location softmax; "cp" adds reciprocal-multiply normalization
+        # (see the v7 kernel)
+        saving = save_stats or save_probs or save_acts
+        clamp = smv in ("clamp", "cp") and not saving
+        recip = smv == "cp" and not saving
         outs_t = []
         for t in range(T):
             qt = q4[:, t]                                  # [H, d, Nc]
@@ -561,11 +579,13 @@ def _make_time_block_kernel_v2(H: int, T: int, N: int,
             cls_l = jnp.sum(qt * ck4, axis=1)[:, None]     # [H, 1, Nc]
             full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
             if clamp:
-                p = jnp.exp(jnp.minimum(full, 80.0))
+                p = jnp.exp(jnp.minimum(full, SMV_CLAMP))
             else:
                 m = jnp.max(full, axis=1, keepdims=True)
                 p = jnp.exp(full - m)
             denom = jnp.sum(p, axis=1, keepdims=True)      # [H, 1, Nc]
+            if clamp:
+                denom = denom + SMV_DENOM_GUARD
             if save_probs:
                 # NORMALIZED probs for the backward (it consumes pn only)
                 p_ref[0, t] = (p / denom).astype(dtype)
@@ -634,7 +654,7 @@ def fused_time_attention_block_v2(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     [B, S, D]. Self-contained (CLS row accumulated in-kernel; no k/v outputs).
 
     smv (TVTS_TIME_SMV env default): per-location softmax variant — "base",
-    "clamp" (max-free min-at-80), "cp" (clamp + reciprocal-multiply). Applies
+    "clamp" (max-free min-at-SMV_CLAMP=70), "cp" (clamp + reciprocal-multiply). Applies
     only when save_stats/save_probs are off (the extraction path); the
     train-capable saves always run the exact base math.
 
@@ -2358,7 +2378,7 @@ def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
         # smv (extraction-only: gated on not save_stats so the train-capable
         # variant stays exact): "clamp"/"cp" replace the per-location
         # (T+1)-sublane max-reduce + broadcast subtract with ONE elementwise
-        # min at 80.0 (exact by shift invariance while every logit <= 80;
+        # min at SMV_CLAMP (exact by shift invariance while every logit <= 70;
         # e^80 and the 13-term denominator both fit f32 — the same safe
         # max-free trick as the v9 space kernel). "cp" additionally rewrites
         # the [H,d,Nc] broadcast divide as reciprocal-multiply (d x fewer
@@ -2372,11 +2392,13 @@ def _make_time_block_kernel_v7(H: int, T: int, save_stats: bool = False,
             cls_l = jnp.sum(qt * kc3, axis=1)[:, None]     # [H, 1, Nc]
             full = jnp.concatenate([cls_l, l], axis=1)     # [H, T+1, Nc]
             if clamp:
-                p = jnp.exp(jnp.minimum(full, 80.0))
+                p = jnp.exp(jnp.minimum(full, SMV_CLAMP))
             else:
                 m = jnp.max(full, axis=1, keepdims=True)
                 p = jnp.exp(full - m)
             denom = jnp.sum(p, axis=1, keepdims=True)
+            if clamp:
+                denom = denom + SMV_DENOM_GUARD
             out_t = jnp.sum(p[:, 1:][:, :, None] * v4, axis=1)  # [H, d, Nc]
             out_t = out_t + p[:, 0][:, None, :] * vc3
             if recip:
@@ -2450,8 +2472,8 @@ def fused_time_attention_block_v7(xT, cls, ln_scale, ln_bias, wqkv, bqkv,
     lane tiles at a smaller pad (see kernel note; extraction fast path).
 
     smv: per-location softmax variant, TVTS_TIME_SMV env default —
-    "base" (exact max-shift), "clamp" (max-free min-at-80, exact while
-    every logit <= 80), "cp" (clamp + reciprocal-multiply normalize).
+    "base" (exact max-shift), "clamp" (max-free min-at-SMV_CLAMP=70, exact
+    while every logit <= 70), "cp" (clamp + reciprocal-multiply normalize).
     Applies ONLY when save_stats=False (the extraction path); the
     train-capable save_stats variant always runs the exact base math."""
     if smv is None:
@@ -2813,14 +2835,15 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
             p_cls = jnp.exp(cls_l - m)
         elif smv in ("clamp", "cd", "cp", "cpr") and not save_probs:
             # max-FREE safe softmax: shift-invariance means any constant
-            # shift is exact as long as exp cannot overflow f32 (88.7);
-            # clamping the f32 logits at 80 replaces the per-row lane
-            # max-reduce + broadcast subtract with ONE elementwise min.
-            # Bit-exact vs the shifted form whenever every logit <= 80
-            # (e^80 = 5.5e34 and the <=257-term denominator both fit f32);
-            # above that, rows saturate gracefully instead of overflowing.
-            p = jnp.exp(jnp.minimum(logits, 80.0))
-            p_cls = jnp.exp(jnp.minimum(cls_l, 80.0))
+            # shift is exact as long as NOTHING downstream overflows f32;
+            # clamping the f32 logits at SMV_CLAMP (70 — see the constant's
+            # derivation: the p@v numerator, not exp itself, is the binding
+            # bound) replaces the per-row lane max-reduce + broadcast
+            # subtract with ONE elementwise min. Bit-exact vs the shifted
+            # form whenever every logit <= SMV_CLAMP; above that, rows
+            # saturate gracefully instead of going non-finite.
+            p = jnp.exp(jnp.minimum(logits, SMV_CLAMP))
+            p_cls = jnp.exp(jnp.minimum(cls_l, SMV_CLAMP))
         else:
             m = jnp.maximum(jnp.max(logits, axis=-1), cls_l)
             p = jnp.exp(logits - m[..., None])
@@ -2847,6 +2870,11 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                 oT3 = jax.lax.dot_general(v3, pb, CONTRACT_NK,
                                           preferred_element_type=f32)
             denom3 = den3 + p_cls[:, None, :]
+            if smv in ("cd", "cp", "cpr") and not save_probs:
+                # clamped rows only (the save_probs training forward took the
+                # exact max-shift branch above, where denom >= 1 always);
+                # rounds away unless the whole row underflowed
+                denom3 = denom3 + SMV_DENOM_GUARD
             if save_probs:
                 N_ = p.shape[-1]
                 p_ref[0] = pb.reshape(FPP, H, -1, N_)
@@ -2861,6 +2889,8 @@ def _make_space_block_kernel_v9(H: int, FPP: int, save_stats: bool = False,
                 oT3 = (oT3 + vcB * p_cls[:, None, :]) / denom3
         else:
             denom = jnp.sum(p, axis=-1) + p_cls
+            if smv == "clamp" and not save_probs:
+                denom = denom + SMV_DENOM_GUARD
             if save_probs:
                 N_ = p.shape[-1]
                 p_ref[0] = p.astype(dtype).reshape(FPP, H, -1, N_)
@@ -2949,7 +2979,7 @@ def fused_space_attention_block_v9(xT, baseT, cls, basecls, ln_scale, ln_bias,
 
     smv: softmax-variant knob (TVTS_V9_SMV env default) — "base",
     "densdot"/"pvones" (denominator summed on the MXU instead of a VPU
-    lane-reduce), "clamp" (max-free softmax via an 80.0 logit clamp —
+    lane-reduce), "clamp" (max-free softmax via the SMV_CLAMP=70 logit clamp —
     exact below the f32 exp-overflow margin), "cd"/"cp" (clamp +
     densdot/pvones), "cpr" (cp + reciprocal-multiply normalize — d x fewer
     VPU divides), "shift"/"sd" (timing probes: no max-reduce at all,
@@ -3039,8 +3069,8 @@ def fused_space_attention_block_v10(x, base, ln_scale, ln_bias, wqkv, bqkv,
     transposes happen in-kernel (v3 style). Saved activations stay d-major
     for the v10 backward. smv: softmax-variant knob (see the v9 wrapper)."""
     if smv is None:
-        # TRAIN default is pvones, not cp: the clamp-at-80 shift is exact
-        # only while every logit <= 80 — true for inference-scale weights,
+        # TRAIN default is pvones, not cp: the clamp-at-SMV_CLAMP shift is
+        # exact only while every logit <= 70 — true for inference-scale weights,
         # but training weights evolve, so the train path keeps the exact
         # max-shift + MXU denominator (PERF.md round 4).
         smv = os.environ.get("TVTS_V9_SMV", "pvones")

@@ -199,6 +199,21 @@ class Trainer:
                 f"{k}={v:.4f}" for k, v in log.items() if np.isscalar(v)))
         return log
 
+    def _flush_aux(self, pending, totals):
+        """Batch-fetch buffered per-step aux dicts (ONE device->host round trip
+        for the whole buffer), accumulate totals, emit scalars. Returns the
+        last fetched aux (host numpy) for the caller's log line."""
+        if not pending:
+            return None
+        fetched = jax.device_get([aux for _, _, aux in pending])
+        for (dl_idx, step, _), aux in zip(pending, fetched):
+            loss = float(aux["loss"])
+            totals[dl_idx] += loss
+            if self.writer is not None:
+                self.writer(f"loss_train_{dl_idx}", loss, step)
+        pending.clear()
+        return fetched[-1]
+
     def _train_epoch(self, epoch: int) -> dict:
         for dl in self.data_loaders:
             dl.set_epoch(epoch)
@@ -206,6 +221,14 @@ class Trainer:
         iters = [iter(dl) for dl in self.data_loaders]
         totals = [0.0] * len(self.data_loaders)
         t0 = time.time()
+
+        # TPU-first deviation from the reference (trainer.py:496-501, which
+        # calls .item() per step): fetching the loss per step blocks the host
+        # on every dispatch (several ms each over a tunnel). Buffer the aux
+        # scalars as device arrays and fetch them in ONE transfer per log_step
+        # window; the host-side step counter avoids syncing on state.step.
+        host_step = int(self.state.step)
+        pending = []  # (dl_idx, step, aux-device-dict)
 
         prof = None
         try:
@@ -225,22 +248,23 @@ class Trainer:
                         raw = next(iters[dl_idx])
                     batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
                     self.state, aux = self.train_step(self.state, batch)
+                    host_step += 1
+                    pending.append((dl_idx, host_step, aux))
                     if (self.save_every_steps and
-                            int(self.state.step) % self.save_every_steps == 0
+                            host_step % self.save_every_steps == 0
                             and self.ckpt is not None):
+                        self._flush_aux(pending, totals)
                         self.ckpt.save_step(
-                            int(self.state.step),
+                            host_step,
                             {"params": self.state.params,
                              "opt_state": self.state.opt_state,
                              "step": self.state.step})
-                    loss = float(aux["loss"])
-                    totals[dl_idx] += loss
-                    if self.writer is not None:
-                        self.writer(f"loss_train_{dl_idx}", loss, int(self.state.step))
-                    if batch_idx % self.log_step == 0:
-                        print(f"Train Epoch: {epoch} dl{dl_idx} [{batch_idx}/{len_epoch}] "
-                              f"Loss_ct: {float(aux['loss_ct']):.6f} "
-                              f"Loss_ce: {float(aux['loss_ce']):.6f} "
+                if batch_idx % self.log_step == 0:
+                    last = self._flush_aux(pending, totals)
+                    if last is not None:
+                        print(f"Train Epoch: {epoch} [{batch_idx}/{len_epoch}] "
+                              f"Loss_ct: {float(last['loss_ct']):.6f} "
+                              f"Loss_ce: {float(last['loss_ce']):.6f} "
                               f"steps/s: {(batch_idx + 1) / (time.time() - t0):.2f}",
                               flush=True)
                 if prof is not None and batch_idx + 1 >= self.profile_steps[1]:
@@ -249,6 +273,7 @@ class Trainer:
         finally:
             if prof is not None:  # short epoch or mid-epoch failure: close the trace
                 prof.__exit__(None, None, None)
+        self._flush_aux(pending, totals)
 
         return {f"loss_{i}": totals[i] / len_epoch for i in range(len(self.data_loaders))}
 
