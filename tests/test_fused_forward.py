@@ -182,10 +182,10 @@ def test_space_v9_softmax_variants_match_base(smv):
 
 @pytest.mark.parametrize("smv", ["clamp", "cp"])
 def test_time_v7_softmax_variants_match_base(smv):
-    """The time kernel's max-free softmax variants (round-4 cont.: clamp-at-80
+    """The time kernel's max-free softmax variants (round-4 cont.: clamped
     per-location softmax; "cp" adds reciprocal-multiply normalization) must
     match smv='base' within the asserted bf16-band tolerance while every
-    logit stays below the 80.0 clamp (true for these unit-scale inputs)."""
+    logit stays below the SMV_CLAMP (true for these unit-scale inputs)."""
     from tvts_tpu.ops.pallas_block_attention import (
         fused_time_attention_block_v7,
     )
@@ -233,10 +233,10 @@ def test_time_v2_softmax_variants_match_base(smv):
 
 
 @pytest.mark.parametrize("kernel", ["space_v9", "time_v7"])
-def test_clamp_variants_saturate_gracefully_above_80(kernel):
-    """Above the 80.0 clamp the 'cp' variant is inexact BY DESIGN (logits
-    elementwise-min'd at 80 — saturation instead of exp overflow). Drive the
-    kernels with weights scaled so logits exceed 80 and assert the saturating
+def test_clamp_variants_saturate_gracefully_above_clamp(kernel):
+    """Above SMV_CLAMP the 'cp' variant is inexact BY DESIGN (logits
+    elementwise-min'd at the clamp — saturation instead of exp overflow). Drive
+    the kernels with weights scaled so logits exceed the clamp and assert the saturating
     regime stays finite (no inf in exp / the T+1-term denominator / the p@v
     accumulation, no nan from inf/inf)."""
     from tvts_tpu.ops.pallas_block_attention import (
@@ -251,7 +251,7 @@ def test_clamp_variants_saturate_gracefully_above_80(kernel):
         return jnp.asarray(rng.standard_normal(s) * s_, jnp.float32)
 
     # qkv weight scale 3.0: post-LN rows are unit-scale, so q.k/sqrt(d) with
-    # w~N(0,9) contractions lands logits in the hundreds (checked: max > 80)
+    # w~N(0,9) contractions lands logits in the hundreds (checked: max > clamp)
     if kernel == "space_v9":
         args = (a(B, T, D, N), a(B, T, D, N), a(B, 1, D), a(B, 1, D),
                 a(D), a(D), a(D, 3 * D, s_=3.0), a(3 * D, s_=0.1),

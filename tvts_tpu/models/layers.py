@@ -120,18 +120,28 @@ class VarAttention(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Plain multi-head self-attention (text tower / sort head), optional causal mask."""
+    """Plain multi-head self-attention (text tower / sort head), optional causal mask.
+
+    `q_tail=k` computes attention OUTPUTS for only the last k query rows
+    (k/v still span every row) — exact for those rows, used by the sort
+    head's dead-work-free final block (only the text-position slice is
+    consumed downstream). Mutually exclusive with `causal`.
+    """
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, causal: bool = False,
+                 q_tail: int | None = None) -> jnp.ndarray:
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if q_tail is not None:
+            assert not causal, "q_tail is for the sort head's full attention"
+            q = q[:, -q_tail:]
         q = split_heads(q * scale, self.num_heads)
         k = split_heads(k, self.num_heads)
         v = split_heads(v, self.num_heads)

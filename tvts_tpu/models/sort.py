@@ -21,13 +21,19 @@ class SortBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, tail: int | None = None) -> jnp.ndarray:
+        """`tail=k`: return only the last k rows of the block output (exact —
+        attention still keys/values over every row). The video-position rows
+        of the FINAL block are dead work (only the text slice feeds the
+        output head), the sort-head analog of the extraction CLS-only tail."""
         cfg = self.cfg
-        x = x + SelfAttention(cfg.embed_dim, cfg.num_heads, dtype=self.dtype,
-                              name="attn")(LayerNormF32(eps=1e-6, name="norm1")(x))
-        x = x + Mlp(int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, act="gelu",
-                    dtype=self.dtype, name="mlp")(
-            LayerNormF32(eps=1e-6, name="norm2")(x))
+        attn = SelfAttention(cfg.embed_dim, cfg.num_heads, dtype=self.dtype,
+                             name="attn")
+        mlp = Mlp(int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim, act="gelu",
+                  dtype=self.dtype, name="mlp")
+        a = attn(LayerNormF32(eps=1e-6, name="norm1")(x), q_tail=tail)
+        x = (x if tail is None else x[:, -tail:]) + a
+        x = x + mlp(LayerNormF32(eps=1e-6, name="norm2")(x))
         return x
 
 
@@ -45,11 +51,14 @@ class SortTransformer(nn.Module):
         type_embed = type_embed.astype(self.dtype)
         v = video_tokens + type_embed[:, 0:1]
         t = text_tokens + type_embed[:, 1:2]
-        x_len = v.shape[1]
         x = jnp.concatenate([v, t], axis=1)
 
+        n_text = t.shape[1]
         for i in range(cfg.depth):
-            x = SortBlock(cfg, dtype=self.dtype, name=f"blocks_{i}")(x)
+            # last block: compute only the text-position rows (dead-work trim,
+            # exact — see SortBlock.tail)
+            tail = n_text if i == cfg.depth - 1 else None
+            x = SortBlock(cfg, dtype=self.dtype, name=f"blocks_{i}")(x, tail=tail)
 
-        x = LayerNormF32(eps=1e-6, name="norm")(x[:, x_len:])
+        x = LayerNormF32(eps=1e-6, name="norm")(x)
         return nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(x)
