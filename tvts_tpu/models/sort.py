@@ -9,6 +9,8 @@ scoring which temporal clip each transcript belongs to.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -54,11 +56,15 @@ class SortTransformer(nn.Module):
         x = jnp.concatenate([v, t], axis=1)
 
         n_text = t.shape[1]
+        # TVTS_SORT_TAIL=0 restores the full last block (A/B measurement knob)
+        trim = os.environ.get("TVTS_SORT_TAIL", "1") != "0"
         for i in range(cfg.depth):
             # last block: compute only the text-position rows (dead-work trim,
             # exact — see SortBlock.tail)
-            tail = n_text if i == cfg.depth - 1 else None
+            tail = n_text if (trim and i == cfg.depth - 1) else None
             x = SortBlock(cfg, dtype=self.dtype, name=f"blocks_{i}")(x, tail=tail)
 
+        if not trim:
+            x = x[:, -n_text:]
         x = LayerNormF32(eps=1e-6, name="norm")(x)
         return nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(x)
