@@ -53,7 +53,7 @@ def main():
 
     from tvts_tpu.models.factory import build_model
     from tvts_tpu.parallel import create_mesh, shard_params
-    from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+    from tvts_tpu.train.optim import OptimizerConfig, freeze_mask, make_optimizer
     from tvts_tpu.train.trainer import Trainer
     from tvts_tpu.utils.checkpoint import CheckpointManager
     from tvts_tpu.utils.config import ConfigParser, read_json
@@ -104,6 +104,7 @@ def main():
         schedule=tuple(args.schedule),
         steps_per_epoch=steps_per_epoch * len(loaders))
     tx = make_optimizer(params, ocfg)
+    fmask = freeze_mask(params, ocfg)
 
     mesh = create_mesh(fsdp=args.fsdp, tp=args.tp)
     with mesh:
@@ -149,7 +150,7 @@ def main():
                 n_keep=cfg.vision.n_keep, dtype=dtype, mesh=mesh, **kcfg)
             print(f"fused Pallas train kernels enabled: {kcfg}")
         trainer = Trainer(model, params, tx, loaders, val_loaders,
-                          apply_fn=apply_fn,
+                          apply_fn=apply_fn, freeze_mask=fmask,
                           epochs=tcfg.get("epochs", 10), mesh=mesh,
                           ckpt_manager=ckpt, init_val=tcfg.get("init_val", False),
                           max_samples_per_epoch=tcfg.get("max_samples_per_epoch"),

@@ -97,6 +97,35 @@ def test_train_step_descends_and_freezes(setup):
     assert not np.allclose(tuned_before, tuned_after)
 
 
+def test_freeze_mask_step_matches_unmasked(setup):
+    """freeze_mask stop_gradients the frozen text blocks (their dW matmuls
+    drop out of the backward). The optimizer already zeroes those updates,
+    so the masked step must produce IDENTICAL params and loss — and the
+    frozen leaves' raw grads must be exactly zero."""
+    from tvts_tpu.train.optim import freeze_mask
+
+    cfg, model, params, batch = setup
+    ocfg = OptimizerConfig(lr_new=1e-3, lr_clip=1e-3,
+                           text_layers=cfg.text.layers, text_tune_layers=1)
+    tx = make_optimizer(params, ocfg)
+    fmask = freeze_mask(params, ocfg)
+    assert any(jax.tree.leaves(fmask)), "tiny config should have a frozen block"
+
+    plain = make_train_step(model, tx, donate=False)
+    masked = make_train_step(model, tx, donate=False, freeze_mask=fmask)
+    s0 = create_train_state(params, tx)
+    s_plain, aux_p = plain(s0, batch)
+    s_mask, aux_m = masked(s0, batch)
+    np.testing.assert_allclose(float(aux_p["loss"]), float(aux_m["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s_plain.params, s_mask.params)
+
+    grads = jax.grad(lambda p: make_loss_fn(model, freeze_mask=fmask)(p, batch)[0])(params)
+    frozen_g = grads["text_model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert not np.any(np.asarray(frozen_g))
+
+
 def test_sharded_step_matches_single_device(setup):
     cfg, model, params, batch = setup
     ocfg = OptimizerConfig(lr_new=1e-3, lr_clip=1e-3,

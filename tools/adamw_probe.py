@@ -46,8 +46,8 @@ def main():
     cfg = tvtsv2_b_16()
     model = TVTSv2(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    video = jnp.zeros((1, 12, 224, 224, 3), jnp.float32)
-    ids = jnp.zeros((1, 4, 77), jnp.int32)
+    video = jnp.zeros((1, 12, 3, 224, 224), jnp.float32)
+    ids = jnp.zeros((4, 77), jnp.int32)  # clip-major [n_trans * B, ctx]
     params = model.init(rng, video, ids)["params"]
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"params: {n/1e6:.1f}M in {len(jax.tree.leaves(params))} leaves")

@@ -71,6 +71,14 @@ def main():
 
     space_v5 = make_space_subpath_v5(
         T, N, H, fpp=int(os.environ.get("FPP", "12")))
+    from tvts_tpu.ops.pallas_block_backward import make_space_subpath_v10
+
+    # the round-4 best train preset: v10 frame-batched probs-saving space +
+    # probs-saving (tps) time
+    space_v10 = make_space_subpath_v10(
+        T, N, H, fpp=int(os.environ.get("SFPP", "4")), save_probs=True)
+    time_tps = make_time_subpath(T, N, H, chunk=128, save_acts=True,
+                                 save_probs=True)
     mlp_f = make_mlp_subpath(act="quick_gelu", chunk=256)
 
     def chain(sub):
@@ -97,6 +105,10 @@ def main():
         "space/v3": (chain(lambda x, *w: space_v3(x, x, *w)),
                      (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/v5": (chain(lambda x, *w: space_v5(x, x, *w)),
+                     (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
+        "space/v10": (chain(lambda x, *w: space_v10(x, x, *w)),
+                      (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
+        "time/tps": (chain(lambda x, *w: time_tps(x, *w)),
                      (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)),
         "space/xla": (chain(lambda x, ln_s, ln_b, wq, bq, wp, bp:
                             x + _var_attention_xla(

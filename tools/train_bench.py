@@ -25,7 +25,7 @@ import numpy as np
 from tvts_tpu.models import TVTSv2
 from tvts_tpu.models.configs import MODEL_REGISTRY
 from tvts_tpu.models.factory import init_params
-from tvts_tpu.train.optim import OptimizerConfig, make_optimizer
+from tvts_tpu.train.optim import OptimizerConfig, freeze_mask, make_optimizer
 from tvts_tpu.train.step import create_train_state, make_train_step
 
 
@@ -78,6 +78,9 @@ def main():
             if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
         print("bf16 params + bf16 AdamW mu (single-chip probe)")
     ocfg = OptimizerConfig(schedule=(6, 8), steps_per_epoch=1000,
+                           text_layers=cfg.text.layers,
+                           text_tune_layers=6 if args.arch == "TVTSv2_H_14"
+                           else 3,
                            mu_dtype="bfloat16" if args.bf16_state else None)
     tx = make_optimizer(params, ocfg)
     state = create_train_state(params, tx)
@@ -94,7 +97,12 @@ def main():
         apply_fn = make_fused_train_apply(
             model, cfg, num_frames=v.num_frames, n_keep=v.n_keep, **kcfg)
         print(f"fused train path (Pallas fwd+bwd megakernels): {kcfg}")
-    step = make_train_step(model, tx, donate=True, apply_fn=apply_fn)
+    # production default: frozen text blocks are stop_gradient'd so their
+    # dW matmuls drop out of the backward (TVTS_FREEZE=0 for the A/B)
+    fmask = (freeze_mask(params, ocfg)
+             if os.environ.get("TVTS_FREEZE", "1") == "1" else None)
+    step = make_train_step(model, tx, donate=True, apply_fn=apply_fn,
+                           freeze_mask=fmask)
 
     t0 = time.perf_counter()
     state, aux = step(state, batch)

@@ -75,6 +75,16 @@ def label_params(params, cfg: OptimizerConfig):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def freeze_mask(params, cfg: OptimizerConfig):
+    """Pytree of bools: True where the optimizer group is 'frozen' (zero
+    updates). The train steps stop_gradient those leaves so XLA never emits
+    their weight-gradient matmuls — the TPU-side analog of the reference's
+    requires_grad=False (v2/train_dist_TVTSv2_ViT_B_16.py:82-90); activation
+    gradients still flow through the frozen blocks (the token/positional
+    embeddings BELOW them stay trainable)."""
+    return jax.tree.map(lambda l: l == "frozen", label_params(params, cfg))
+
+
 def milestone_scale_fn(cfg: OptimizerConfig):
     """Step -> LR multiplier. Decay by 0.1 applied after each milestone epoch ends."""
     boundaries = sorted(int(m) * cfg.steps_per_epoch for m in cfg.schedule)

@@ -52,10 +52,23 @@ def default_apply(model):
     return apply
 
 
-def make_loss_fn(model, temperature: float = 0.05, apply_fn: Callable | None = None) -> Callable:
+def _stop_frozen(params, freeze_mask):
+    """stop_gradient the frozen-group leaves: their weight-grad matmuls are
+    dead (the optimizer zeroes those updates), so cutting them at the source
+    lets XLA drop the dW computations from the backward entirely."""
+    if freeze_mask is None:
+        return params
+    return jax.tree.map(
+        lambda p, f: jax.lax.stop_gradient(p) if f else p, params, freeze_mask)
+
+
+def make_loss_fn(model, temperature: float = 0.05,
+                 apply_fn: Callable | None = None,
+                 freeze_mask=None) -> Callable:
     fwd = apply_fn or default_apply(model)
 
     def loss_fn(params, batch):
+        params = _stop_frozen(params, freeze_mask)
         text_emb, video_emb, pred_order = fwd(params, batch)
         sim = sim_matrix(video_emb, text_emb)
         loss_ct = norm_softmax_loss(sim, temperature)
@@ -75,8 +88,9 @@ def make_loss_fn(model, temperature: float = 0.05, apply_fn: Callable | None = N
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     temperature: float = 0.05, donate: bool = True,
-                    apply_fn: Callable | None = None) -> Callable:
-    loss_fn = make_loss_fn(model, temperature, apply_fn)
+                    apply_fn: Callable | None = None,
+                    freeze_mask=None) -> Callable:
+    loss_fn = make_loss_fn(model, temperature, apply_fn, freeze_mask)
 
     def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -132,7 +146,8 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation,
                             mesh, temperature: float = 0.05,
                             donate: bool = True,
                             apply_fn: Callable | None = None,
-                            axis_names=("dp", "fsdp")) -> Callable:
+                            axis_names=("dp", "fsdp"),
+                            freeze_mask=None) -> Callable:
     """Explicit shard_map train step: replicated params, batch sharded over the
     data axes, per-device forward, all_gather'd contrastive matrix, grad psum.
 
@@ -157,6 +172,7 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation,
 
     def local_step(state, batch):
         def loss_fn(params):
+            params = _stop_frozen(params, freeze_mask)
             text_emb, video_emb, pred_order = fwd(params, batch)
             video_all = jax.lax.all_gather(video_emb, axis_names, axis=0,
                                            tiled=True)

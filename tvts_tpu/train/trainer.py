@@ -87,7 +87,8 @@ class Trainer:
                  temperature: float = 0.05,
                  epoch_loader: int | str | None = None,
                  profile_dir: str | None = None,
-                 profile_steps: tuple[int, int] = (10, 13)):
+                 profile_steps: tuple[int, int] = (10, 13),
+                 freeze_mask=None):
         self.model = model
         self.tx = tx
         self.data_loaders = list(data_loaders)
@@ -120,9 +121,12 @@ class Trainer:
         # caller's arrays must stay valid (e.g. for a final eval with the originals)
         params = jax.tree.map(jnp.copy, params)
         self.state = create_train_state(params, tx)
+        # freeze_mask (optim.freeze_mask): stop_gradient the frozen text
+        # blocks so their dW matmuls never compile into the backward
         self.train_step = make_train_step(model, tx, donate=True,
                                           apply_fn=apply_fn,
-                                          temperature=temperature)
+                                          temperature=temperature,
+                                          freeze_mask=freeze_mask)
         self.eval_step = make_eval_step(model, apply_fn=apply_fn,
                                         temperature=temperature)
 
