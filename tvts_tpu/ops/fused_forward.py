@@ -713,6 +713,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            space_fpp: int | None = None,
                            time_vmem_mb: int = 100,
                            smv: str | None = None,
+                           text_mode: str = "xla",
                            interpret: bool = False,
                            mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
@@ -732,7 +733,9 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
     DDP-grad-allreduce contract (reference v2/trainer/trainer.py:41-57).
     Text tower + sort head + the global sim-matrix loss stay OUTSIDE the
     shard_map in plain GSPMD jit, so the contrastive all_gather semantics
-    are unchanged. sp/tp axes are NOT supported through the kernel
+    are unchanged — except with text_mode="pallas", where the fused text
+    kernels (opaque to GSPMD like every pallas_call) run in their own
+    shard_map over the text rows. sp/tp axes are NOT supported through the kernel
     boundary — token/head sharding inside a pallas program needs the XLA
     path (the kernels assume whole [N, D] tiles per program)."""
     tower_fwd = make_fused_train_forward(cfg.vision, num_frames, n_keep,
@@ -770,12 +773,40 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                     return no_keep(vparams, video)
                 return with_keep(vparams, video, keep_ind)
 
+    if text_mode == "pallas":
+        from tvts_tpu.ops.pallas_text_attention import (
+            text_transformer_fused_forward,
+        )
+
+        def text_fwd(tparams, ids):
+            return text_transformer_fused_forward(
+                tparams, cfg.text, ids, dtype=dtype, interpret=interpret)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            taxes = tuple(a for a in data_axes if a in mesh.axis_names
+                          and mesh.shape[a] > 1) or None
+            if taxes is not None:
+                # text rows ([n_trans * B, ctx]) are per-sequence independent,
+                # so splitting dim 0 over the data axes is exact regardless of
+                # the clip-major ordering
+                text_fwd = jax.shard_map(
+                    text_fwd, mesh=mesh, in_specs=(P(), P(taxes)),
+                    out_specs=P(taxes), check_vma=False)
+
+        def compute_text(params, ids):
+            return text_fwd(params["text_model"], ids)
+    else:
+        def compute_text(params, ids):
+            return model.apply({"params": params}, ids,
+                               method=lambda m, t: m.compute_text(t))
+
     def apply(params, batch):
         video, text_ids = batch["video"], batch["text_ids"]
         keep_ind = batch.get("keep_ind")
         bz = video.shape[0]
-        text_emb = model.apply({"params": params}, text_ids,
-                               method=lambda m, t: m.compute_text(t))
+        text_emb = compute_text(params, text_ids)
         n_trans = text_emb.shape[0] // bz
         per_clip = text_emb.reshape(n_trans, bz, text_emb.shape[-1])
         text_embeddings = per_clip.mean(axis=0)

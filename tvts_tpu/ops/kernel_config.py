@@ -61,6 +61,10 @@ _KEYS = (
     # true at inference scale), training (v10) uses "pvones" (exact
     # max-shift at any logit magnitude).
     ("smv", "smv", "TVTS_V9_SMV", str),
+    # text-tower attention sub-path: "xla" (flax module) or "pallas" (fused
+    # causal-attention kernel, ops/pallas_text_attention.py — kills the
+    # [B,H,S,S] HBM softmax round trips; PERF.md round 5)
+    ("text_mode", "text_mode", "TVTS_TEXT_MODE", str),
     # interpret=True runs the Pallas kernels via the interpreter (CPU-device
     # test runs — the CLI smoke tests drive the production script on the
     # 8-virtual-CPU mesh this way; never set on real TPU runs)
@@ -69,7 +73,8 @@ _KEYS = (
 
 _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
              layout="row", space_fpp=None, time_chunk=128, save_acts=True,
-             scan_blocks=False, time_vmem_mb=100, smv=None, interpret=False)
+             scan_blocks=False, time_vmem_mb=100, smv=None,
+             text_mode="xla", interpret=False)
 
 # Memory-neutral defaults (safe at any measured batch).
 KERNEL_DEFAULTS = {
