@@ -93,13 +93,14 @@ def test_text_subpath_grads(rpp):
                                    atol=3e-4, rtol=2e-4, err_msg=name)
 
 
-def test_text_transformer_fused_forward_matches_apply():
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_text_transformer_fused_forward_matches_apply(act):
     from tvts_tpu.ops.pallas_text_attention import (
         text_transformer_fused_forward,
     )
 
     cfg = TextConfig(context_length=10, vocab_size=50, width=32, heads=4,
-                     layers=2, output_dim=16)
+                     layers=2, output_dim=16, act=act)
     model = TextTransformer(cfg)
     rng = np.random.default_rng(2)
     ids = rng.integers(1, 48, size=(6, 10)).astype(np.int32)

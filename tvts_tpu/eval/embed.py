@@ -30,10 +30,21 @@ def make_embed_fns(model, use_fused: bool = False):
     megakernel forward (ops/fused_forward.py; 'openai'-pool towers only —
     checkpoint-compatible, ~1.18x on v5e)."""
 
-    @jax.jit
-    def embed_text(params, ids):
-        return model.apply({"params": params}, ids,
-                           method=lambda m, t: m.compute_text(t))
+    tcfg = getattr(model.cfg, "text", None)
+    if use_fused and tcfg is not None:
+        from tvts_tpu.ops.pallas_text_attention import (
+            text_transformer_fused_forward,
+        )
+
+        @jax.jit
+        def embed_text(params, ids):
+            return text_transformer_fused_forward(
+                params["text_model"], tcfg, ids, dtype=model.dtype)
+    else:
+        @jax.jit
+        def embed_text(params, ids):
+            return model.apply({"params": params}, ids,
+                               method=lambda m, t: m.compute_text(t))
 
     vcfg0 = getattr(model.cfg, "vision", None)
     if (use_fused and vcfg0 is not None
