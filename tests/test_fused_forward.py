@@ -53,9 +53,12 @@ def test_fused_forward_openclip_pool(version):
                                atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("version", [7, 8])
-@pytest.mark.parametrize("pool,act", [("openai", "quick_gelu"),
-                                      ("openclip", "gelu")])
+# pool x version trimmed to one case per axis value (suite-budget trim):
+# kv8 differs from kv7 only in the space+MLP fusion, which is pool-agnostic
+@pytest.mark.parametrize("pool,act,version",
+                         [("openai", "quick_gelu", 7),
+                          ("openai", "quick_gelu", 8),
+                          ("openclip", "gelu", 7)])
 def test_fused_forward_v7_dmajor_matches_apply(pool, act, version):
     """kernel_version=7 (d-major tower: [B,T,D,N] activations across all three
     sub-path kernels, transposes paid once at tower entry/exit) and
