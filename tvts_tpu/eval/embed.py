@@ -53,10 +53,11 @@ def make_embed_fns(model, use_fused: bool = False):
         from tvts_tpu.ops.fused_forward import space_time_vit_fused_forward
 
         vcfg = model.cfg.vision
-        # geometry-aware kernel choice (PERF.md round-3 decision table):
+        # geometry-aware kernel choice (PERF.md round-5 refresh):
         # N >= 128 patches/frame -> v7 d-major tower + v9 frame-batched
-        # space (B/16 169.6 clips/s, H/14 22.8); small-N geometries (B/32's
-        # 49) keep the v2 row-major kernels (d-major lane pad dominates)
+        # space (B/16 227.8 clips/s, H/14 24.95); small-N geometries (B/32's
+        # 49) keep the v2 row-major kernels (d-major lane pad dominates;
+        # B/32 424.4 clips/s)
         if vcfg.patches_per_frame >= 128:
             kv = 7
             fpp = next((c for c in (3, 2) if vcfg.num_frames % c == 0), 1)
