@@ -104,7 +104,11 @@ def test_text_transformer_fused_forward_matches_apply(act):
     model = TextTransformer(cfg)
     rng = np.random.default_rng(2)
     ids = rng.integers(1, 48, size=(6, 10)).astype(np.int32)
-    ids[:, -1] = 49  # EOT = largest id
+    # EOT (largest id) at VARIED positions — the fused forward's EOT-only
+    # last block gathers per-row, so position handling must be exact
+    for r, pos in enumerate([9, 4, 7, 2, 9, 5]):
+        ids[r, pos] = 49
+        ids[r, pos + 1:] = 0
     ids = jnp.asarray(ids)
     params = model.init(jax.random.PRNGKey(0), ids)["params"]
     want = model.apply({"params": params}, ids)

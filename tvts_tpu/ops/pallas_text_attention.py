@@ -302,12 +302,44 @@ def make_text_subpath(num_heads: int, causal: bool = True,
     return f
 
 
+def _eot_only_block(x, bp, eot_pos, H, act, dtype):
+    """The LAST text block narrowed to each sequence's EOT row — the only
+    row ln_final -> pool consumes (dead-work trim, exact: LN is per-token
+    and the EOT query attends causally over the full k/v set)."""
+    from tvts_tpu.ops.fused_forward import _layernorm, _mlp
+
+    B, S, D = x.shape
+    d = D // H
+    x_ln = _layernorm(x, bp["ln_1"])
+    wqkv = bp["attn"]["qkv"]["kernel"].astype(dtype)
+    bqkv = bp["attn"]["qkv"]["bias"].astype(dtype)
+    k = x_ln @ wqkv[:, D:2 * D] + bqkv[D:2 * D]
+    v = x_ln @ wqkv[:, 2 * D:] + bqkv[2 * D:]
+    x_eot = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)  # [B,1,D]
+    q_eot = jnp.take_along_axis(x_ln, eot_pos[:, None, None], axis=1) \
+        @ wqkv[:, :D] + bqkv[:D]
+    q = q_eot.reshape(B, 1, H, d).transpose(0, 2, 1, 3) * (d ** -0.5)
+    kh = k.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhid,bhjd->bhij", q, kh)       # [B, H, 1, S]
+    mask = (jnp.arange(S)[None, :] <= eot_pos[:, None])[:, None, None]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhij,bhjd->bhid", p, vh) \
+        .transpose(0, 2, 1, 3).reshape(B, 1, D)
+    o = o @ bp["attn"]["proj"]["kernel"].astype(dtype) \
+        + bp["attn"]["proj"]["bias"].astype(dtype)
+    x_eot = x_eot + o
+    return x_eot + _mlp(_layernorm(x_eot, bp["ln_2"]), bp["mlp"], act)
+
+
 def text_transformer_fused_forward(params, cfg, token_ids, dtype=jnp.bfloat16,
                                    rpp: int | None = None,
                                    interpret: bool = False):
     """TextTransformer.__call__ (models/text.py) with the attention sub-path
     of every block running the fused Pallas kernel; MLP + LNs + embed/pool
-    stay XLA (measured at MXU rate). Same params tree as the flax module."""
+    stay XLA (measured at MXU rate). The LAST block computes only the EOT
+    rows (_eot_only_block). Same params tree as the flax module."""
     from tvts_tpu.ops.fused_forward import _layernorm, _mlp
 
     emb = params["token_embedding"]["embedding"].astype(dtype)[token_ids]
@@ -315,7 +347,8 @@ def text_transformer_fused_forward(params, cfg, token_ids, dtype=jnp.bfloat16,
     H = cfg.heads
     sub = make_text_subpath(H, causal=True, rpp=rpp, interpret=interpret)
     n_layers = cfg.layers
-    for i in range(n_layers):
+    eot_pos = jnp.argmax(token_ids, axis=-1)
+    for i in range(n_layers - 1):
         bp = params[f"blocks_{i}"]
         x = sub(x, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
                 bp["attn"]["qkv"]["kernel"].astype(dtype),
@@ -323,7 +356,7 @@ def text_transformer_fused_forward(params, cfg, token_ids, dtype=jnp.bfloat16,
                 bp["attn"]["proj"]["kernel"].astype(dtype),
                 bp["attn"]["proj"]["bias"].astype(dtype))
         x = x + _mlp(_layernorm(x, bp["ln_2"]), bp["mlp"], cfg.act)
-    x = _layernorm(x, params["ln_final"])
-    eot_pos = jnp.argmax(token_ids, axis=-1)
-    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    x = _eot_only_block(x, params[f"blocks_{n_layers - 1}"], eot_pos, H,
+                        cfg.act, dtype)
+    pooled = _layernorm(x, params["ln_final"])[:, 0]
     return pooled @ params["text_projection"].astype(dtype)
