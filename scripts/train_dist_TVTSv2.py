@@ -142,6 +142,10 @@ def main():
             # per-arch preset tables in ops/kernel_config.py) with the
             # TVTS_* env vars as sweep-time overrides
             kcfg = resolve_kernel_config(arch, tcfg.get("kernels"))
+            if kcfg.get("text_mode") == "pallas":
+                # frozen text blocks take the dx-only kernel backward
+                kcfg["text_tune_from"] = (ocfg.text_layers
+                                          - ocfg.text_tune_layers)
             # pass the mesh so the fused tower shard_maps over the dp/fsdp
             # data axes (the wrapper is skipped automatically when every
             # data axis is size 1 — plain jit on a single chip)

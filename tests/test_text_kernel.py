@@ -93,6 +93,72 @@ def test_text_subpath_grads(rpp):
                                    atol=3e-4, rtol=2e-4, err_msg=name)
 
 
+def test_text_subpath_frozen_dx_matches(
+):
+    """frozen=True: dx must equal the trainable subpath's dx exactly; the
+    weight cotangents come back as zeros (the dx-only backward kernel)."""
+    from tvts_tpu.ops.pallas_text_attention import make_text_subpath
+
+    B, S, D, H = 4, 10, 32, 4
+    rng = np.random.default_rng(3)
+    w = _weights(rng, D)
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    args = (x, w["ln_s"], w["ln_b"], w["wqkv"], w["bqkv"], w["wproj"],
+            w["bproj"])
+    cot = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    sub = make_text_subpath(H, interpret=True)
+    sub_f = make_text_subpath(H, frozen=True, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(sub_f(*args)),
+                               np.asarray(sub(*args)), atol=1e-6)
+    g = jax.grad(lambda *a: jnp.sum(sub(*a) * cot),
+                 argnums=tuple(range(7)))(*args)
+    g_f = jax.grad(lambda *a: jnp.sum(sub_f(*a) * cot),
+                   argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g[0]),
+                               atol=2e-5, rtol=1e-5)  # dx identical
+    for gf in g_f[1:]:
+        assert not np.any(np.asarray(gf))              # weight grads zero
+
+
+def test_text_transformer_tune_from_matches_full_grads_on_tuned():
+    """tune_from=k: pooled output identical; grads on the TUNED blocks and
+    the embeddings match the no-freeze fused forward (the frozen blocks'
+    grads are zeros the optimizer discards)."""
+    from tvts_tpu.ops.pallas_text_attention import (
+        text_transformer_fused_forward,
+    )
+
+    cfg = TextConfig(context_length=10, vocab_size=50, width=32, heads=4,
+                     layers=3, output_dim=16)
+    model = TextTransformer(cfg)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 48, size=(4, 10)).astype(np.int32)
+    ids[:, -1] = 49
+    ids = jnp.asarray(ids)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+
+    def emb(p, tune_from=None):
+        return text_transformer_fused_forward(p, cfg, ids, dtype=jnp.float32,
+                                              tune_from=tune_from,
+                                              interpret=True)
+
+    np.testing.assert_allclose(np.asarray(emb(params, 1)),
+                               np.asarray(emb(params)), atol=1e-6)
+    g_full = jax.grad(lambda p: jnp.sum(emb(p)))(params)
+    g_tf = jax.grad(lambda p: jnp.sum(emb(p, 1)))(params)
+    np.testing.assert_allclose(
+        np.asarray(g_tf["blocks_1"]["attn"]["qkv"]["kernel"]),
+        np.asarray(g_full["blocks_1"]["attn"]["qkv"]["kernel"]),
+        atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_tf["token_embedding"]["embedding"]),
+        np.asarray(g_full["token_embedding"]["embedding"]),
+        atol=2e-5, rtol=1e-4)
+    assert not np.any(np.asarray(g_tf["blocks_0"]["attn"]["qkv"]["kernel"]))
+    assert not np.any(np.asarray(g_tf["blocks_0"]["mlp"]["c_fc"]["kernel"]))
+
+
 @pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
 def test_text_transformer_fused_forward_matches_apply(act):
     from tvts_tpu.ops.pallas_text_attention import (

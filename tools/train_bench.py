@@ -94,6 +94,11 @@ def main():
         kcfg = resolve_kernel_config(
             args.arch,
             {"preset": os.environ.get("TVTS_KERNEL_PRESET", "default")})
+        if kcfg.get("text_mode") == "pallas" \
+                and os.environ.get("TVTS_FREEZE", "1") == "1":
+            # match the optimizer's frozen split so the text kernels use the
+            # dx-only backward for frozen blocks
+            kcfg["text_tune_from"] = ocfg.text_layers - ocfg.text_tune_layers
         apply_fn = make_fused_train_apply(
             model, cfg, num_frames=v.num_frames, n_keep=v.n_keep, **kcfg)
         print(f"fused train path (Pallas fwd+bwd megakernels): {kcfg}")

@@ -714,6 +714,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            time_vmem_mb: int = 100,
                            smv: str | None = None,
                            text_mode: str = "xla",
+                           text_tune_from: int | None = None,
                            interpret: bool = False,
                            mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
@@ -780,7 +781,8 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
 
         def text_fwd(tparams, ids):
             return text_transformer_fused_forward(
-                tparams, cfg.text, ids, dtype=dtype, interpret=interpret)
+                tparams, cfg.text, ids, dtype=dtype,
+                tune_from=text_tune_from, interpret=interpret)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P

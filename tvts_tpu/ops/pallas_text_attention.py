@@ -122,22 +122,31 @@ def fused_text_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
       b3[0:1], b3[1:2], b3[2:3], wproj, bproj.reshape(1, D))
 
 
-def _make_text_bwd_kernel(H: int, RPP: int, causal: bool):
+def _make_text_bwd_kernel(H: int, RPP: int, causal: bool,
+                          frozen: bool = False):
+    """frozen=True: the block's weights are in the optimizer's frozen group
+    (zero updates), so the kernel computes ONLY dx — the dW/db/dLN
+    accumulations (the big-K weight-grad matmuls) are skipped entirely.
+    stop_gradient at the param leaves cannot reach inside an opaque
+    pallas_call, so the skip must be baked into the kernel itself."""
+
     def kernel(g_ref, x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bq_ref, bk_ref,
-               bv_ref, wproj_ref, dx_ref, dwqkv_ref, dbq_ref, dbk_ref,
-               dbv_ref, dwproj_ref, dbproj_ref, dls_ref, dlb_ref):
+               bv_ref, wproj_ref, dx_ref, *grad_refs):
         from tvts_tpu.ops.pallas_block_backward import _ln_bwd, _ln_fwd
+
+        if not frozen:
+            (dwqkv_ref, dbq_ref, dbk_ref, dbv_ref, dwproj_ref, dbproj_ref,
+             dls_ref, dlb_ref) = grad_refs
+
+            @pl.when(pl.program_id(0) == 0)
+            def _zero():
+                for ref in grad_refs:
+                    ref[...] = jnp.zeros_like(ref)
 
         S = x_ref.shape[1]
         D = x_ref.shape[2]
         d = D // H
         dtype = x_ref.dtype
-
-        @pl.when(pl.program_id(0) == 0)
-        def _zero():
-            for ref in (dwqkv_ref, dbq_ref, dbk_ref, dbv_ref, dwproj_ref,
-                        dbproj_ref, dls_ref, dlb_ref):
-                ref[...] = jnp.zeros_like(ref)
 
         ln_s = ln_s_ref[0].astype(jnp.float32)
         ln_b = ln_b_ref[0].astype(jnp.float32)
@@ -178,8 +187,11 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool):
                 denom = jnp.sum(p, axis=-1, keepdims=True)
                 pn = p / denom                                 # [S, S] f32
                 pn_b = pn.astype(dtype)
-                oh = jnp.dot(pn_b, vh, preferred_element_type=jnp.float32)
-                outs.append(oh.astype(dtype))
+                if not frozen:
+                    # the pre-proj attention output is only needed for dwproj
+                    oh = jnp.dot(pn_b, vh,
+                                 preferred_element_type=jnp.float32)
+                    outs.append(oh.astype(dtype))
 
                 dout = dattn_all[rows, sl]                     # [S, d] f32
                 dout_b = dout.astype(dtype)
@@ -195,32 +207,35 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool):
                 dqs.append(dq_h)
                 dks.append(dk_h)
                 dvs.append(dv_h)
-            row_outs.append(jnp.concatenate(outs, axis=-1))
+            if not frozen:
+                row_outs.append(jnp.concatenate(outs, axis=-1))
             row_dq.append(jnp.concatenate(dqs, axis=-1))
             row_dk.append(jnp.concatenate(dks, axis=-1))
             row_dv.append(jnp.concatenate(dvs, axis=-1))
 
-        attn_out = jnp.concatenate(row_outs, axis=0)           # [RPP*S, D]
-        dwproj_ref[...] += jnp.dot(attn_out.T, g_flat,
-                                   preferred_element_type=jnp.float32)
-        dbproj_ref[...] += jnp.sum(g_flat.astype(jnp.float32), axis=0,
-                                   keepdims=True)
+        if not frozen:
+            attn_out = jnp.concatenate(row_outs, axis=0)       # [RPP*S, D]
+            dwproj_ref[...] += jnp.dot(attn_out.T, g_flat,
+                                       preferred_element_type=jnp.float32)
+            dbproj_ref[...] += jnp.sum(g_flat.astype(jnp.float32), axis=0,
+                                       keepdims=True)
 
         dq = jnp.concatenate(row_dq, axis=0) * scale           # [RPP*S, D]
         dk = jnp.concatenate(row_dk, axis=0)
         dv = jnp.concatenate(row_dv, axis=0)
         dq_b, dk_b, dv_b = (dq.astype(dtype), dk.astype(dtype),
                             dv.astype(dtype))
-        x_ln_t = x_ln.T
-        dwqkv_ref[:, :D] += jnp.dot(x_ln_t, dq_b,
-                                    preferred_element_type=jnp.float32)
-        dwqkv_ref[:, D:2 * D] += jnp.dot(x_ln_t, dk_b,
-                                         preferred_element_type=jnp.float32)
-        dwqkv_ref[:, 2 * D:] += jnp.dot(x_ln_t, dv_b,
+        if not frozen:
+            x_ln_t = x_ln.T
+            dwqkv_ref[:, :D] += jnp.dot(x_ln_t, dq_b,
                                         preferred_element_type=jnp.float32)
-        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
-        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
-        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+            dwqkv_ref[:, D:2 * D] += jnp.dot(x_ln_t, dk_b,
+                                             preferred_element_type=jnp.float32)
+            dwqkv_ref[:, 2 * D:] += jnp.dot(x_ln_t, dv_b,
+                                            preferred_element_type=jnp.float32)
+            dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+            dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+            dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
 
         dxln = jnp.dot(dq_b, wqkv_ref[:, :D].T,
                        preferred_element_type=jnp.float32) \
@@ -228,8 +243,9 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool):
                       preferred_element_type=jnp.float32) \
             + jnp.dot(dv_b, wqkv_ref[:, 2 * D:].T,
                       preferred_element_type=jnp.float32)
-        dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
-        dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
+        if not frozen:
+            dls_ref[...] += jnp.sum(dxln * xhat, axis=0, keepdims=True)
+            dlb_ref[...] += jnp.sum(dxln, axis=0, keepdims=True)
         dx = g_flat.astype(jnp.float32) + _ln_bwd(dxln, xhat, rstd, ln_s)
         dx_ref[...] = dx.reshape(RPP, S, D).astype(dx_ref.dtype)
 
@@ -239,6 +255,7 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool):
 def fused_text_attention_block_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, num_heads: int, causal: bool = True,
                                    rpp: int | None = None,
+                                   frozen: bool = False,
                                    interpret: bool = False):
     B, S, D = x.shape
     if rpp is None:
@@ -253,30 +270,45 @@ def fused_text_attention_block_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
     wproj_spec = pl.BlockSpec((D, D), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     acc = functools.partial(jax.ShapeDtypeStruct, dtype=jnp.float32)
+    if frozen:
+        out_specs = (x_spec,)
+        out_shape = (jax.ShapeDtypeStruct((B, S, D), x.dtype),)
+    else:
+        out_specs = (x_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
+                     wproj_spec, vec_spec, vec_spec, vec_spec)
+        out_shape = (jax.ShapeDtypeStruct((B, S, D), x.dtype),
+                     acc((D, 3 * D)), acc((1, D)), acc((1, D)), acc((1, D)),
+                     acc((D, D)), acc((1, D)), acc((1, D)), acc((1, D)))
     outs = pl.pallas_call(
-        _make_text_bwd_kernel(num_heads, rpp, causal),
+        _make_text_bwd_kernel(num_heads, rpp, causal, frozen=frozen),
         grid=(B // rpp,),
         in_specs=[x_spec, x_spec, vec_spec, vec_spec, wqkv_spec, vec_spec,
                   vec_spec, vec_spec, wproj_spec],
-        out_specs=(x_spec, wqkv_spec, vec_spec, vec_spec, vec_spec,
-                   wproj_spec, vec_spec, vec_spec, vec_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, S, D), x.dtype),
-                   acc((D, 3 * D)), acc((1, D)), acc((1, D)), acc((1, D)),
-                   acc((D, D)), acc((1, D)), acc((1, D)), acc((1, D))),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(g, x, ln_scale.reshape(1, D), ln_bias.reshape(1, D), wqkv,
       b3[0:1], b3[1:2], b3[2:3], wproj)
+    if frozen:
+        dx = outs if not isinstance(outs, (tuple, list)) else outs[0]
+        zl = jnp.zeros_like
+        return (dx, zl(ln_scale), zl(ln_bias), zl(wqkv), zl(bqkv),
+                zl(wproj), jnp.zeros((D,), wproj.dtype))
     (dx, dwqkv, dbq, dbk, dbv, dwproj, dbproj, dls, dlb) = outs
     dbqkv = jnp.concatenate([dbq[0], dbk[0], dbv[0]], axis=0)
     return dx, dls[0], dlb[0], dwqkv, dbqkv, dwproj, dbproj[0]
 
 
 def make_text_subpath(num_heads: int, causal: bool = True,
-                      rpp: int | None = None, interpret: bool = False):
+                      rpp: int | None = None, frozen: bool = False,
+                      interpret: bool = False):
     """Differentiable fused text-attention sub-path:
     f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + Attn path.
-    Grad parity vs jax.grad of the XLA formulation in
+    frozen=True: the backward computes only dx (weight cotangents are
+    symbolic zeros) — for blocks in the optimizer's frozen group, where
+    the in-kernel dW accumulation would be dead work stop_gradient cannot
+    reach. Grad parity vs jax.grad of the XLA formulation in
     tests/test_text_kernel.py."""
 
     @jax.custom_vjp
@@ -294,7 +326,7 @@ def make_text_subpath(num_heads: int, causal: bool = True,
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = \
             fused_text_attention_block_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
-                num_heads=num_heads, causal=causal, rpp=rpp,
+                num_heads=num_heads, causal=causal, rpp=rpp, frozen=frozen,
                 interpret=interpret)
         return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
 
@@ -335,26 +367,45 @@ def _eot_only_block(x, bp, eot_pos, H, act, dtype):
 
 def text_transformer_fused_forward(params, cfg, token_ids, dtype=jnp.bfloat16,
                                    rpp: int | None = None,
+                                   tune_from: int | None = None,
                                    interpret: bool = False):
     """TextTransformer.__call__ (models/text.py) with the attention sub-path
     of every block running the fused Pallas kernel; MLP + LNs + embed/pool
     stay XLA (measured at MXU rate). The LAST block computes only the EOT
-    rows (_eot_only_block). Same params tree as the flax module."""
+    rows (_eot_only_block). Same params tree as the flax module.
+
+    tune_from: blocks below this index are in the optimizer's frozen group,
+    so their attention backward uses the dx-only kernel (weight cotangents
+    are zeros the optimizer would discard anyway) and their MLP weights are
+    stop_gradient'd here — inside the kernel the train steps' freeze_mask
+    stop_gradient cannot reach. rpp (TVTS_TEXT_RPP): sequences per kernel
+    program."""
+    import os
+
     from tvts_tpu.ops.fused_forward import _layernorm, _mlp
 
+    if rpp is None and os.environ.get("TVTS_TEXT_RPP"):
+        rpp = int(os.environ["TVTS_TEXT_RPP"])
     emb = params["token_embedding"]["embedding"].astype(dtype)[token_ids]
     x = emb + params["positional_embedding"][None].astype(dtype)
     H = cfg.heads
     sub = make_text_subpath(H, causal=True, rpp=rpp, interpret=interpret)
+    sub_frozen = make_text_subpath(H, causal=True, rpp=rpp, frozen=True,
+                                   interpret=interpret)
     n_layers = cfg.layers
     eot_pos = jnp.argmax(token_ids, axis=-1)
     for i in range(n_layers - 1):
         bp = params[f"blocks_{i}"]
-        x = sub(x, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
-                bp["attn"]["qkv"]["kernel"].astype(dtype),
-                bp["attn"]["qkv"]["bias"].astype(dtype),
-                bp["attn"]["proj"]["kernel"].astype(dtype),
-                bp["attn"]["proj"]["bias"].astype(dtype))
+        if tune_from is not None and i < tune_from:
+            bp = jax.lax.stop_gradient(bp)
+            f = sub_frozen
+        else:
+            f = sub
+        x = f(x, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+              bp["attn"]["qkv"]["kernel"].astype(dtype),
+              bp["attn"]["qkv"]["bias"].astype(dtype),
+              bp["attn"]["proj"]["kernel"].astype(dtype),
+              bp["attn"]["proj"]["bias"].astype(dtype))
         x = x + _mlp(_layernorm(x, bp["ln_2"]), bp["mlp"], cfg.act)
     x = _eot_only_block(x, params[f"blocks_{n_layers - 1}"], eot_pos, H,
                         cfg.act, dtype)
