@@ -82,7 +82,16 @@ def main():
                            text_tune_layers=6 if args.arch == "TVTSv2_H_14"
                            else 3,
                            mu_dtype="bfloat16" if args.bf16_state else None)
-    tx = make_optimizer(params, ocfg)
+    if os.environ.get("TVTS_OPT") == "sgd0":
+        # optimizer-cost ablation: a zero-LR SGD removes the AdamW state
+        # traffic from the step — the delta vs the default run IS the
+        # in-step AdamW cost (PERF.md round 5)
+        import optax
+
+        tx = optax.sgd(0.0)
+        print("TVTS_OPT=sgd0: zero-LR SGD (AdamW-cost ablation)")
+    else:
+        tx = make_optimizer(params, ocfg)
     state = create_train_state(params, tx)
     apply_fn = None
     if os.environ.get("TVTS_TPU_TRAIN_FUSED", "0") == "1":
