@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--log_step", type=int, default=50)
     ap.add_argument("--preset", default="best")
     ap.add_argument("--arch", default="TVTSv2_B_16")
+    ap.add_argument("--device_pool", action="store_true",
+                    help="pre-tokenize + device_put the pool once: isolates "
+                         "the Trainer LOOP overhead from the tunnel's "
+                         "host->device transfer (per-step 144 MB at B=20, "
+                         "seconds over the axon RPC — a PCIe-era artifact "
+                         "this harness cannot hide)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -83,6 +89,12 @@ def main():
         label = np.tile(np.arange(cfg.num_clips), (args.B, 1)).astype(np.int32)
         batches.append({"video": video, "keep_ind": keep, "text": text,
                         "label": label})
+    if args.device_pool:
+        import jax
+
+        from tvts_tpu.train.trainer import prepare_batch
+
+        batches = [jax.device_put(prepare_batch(b)) for b in batches]
     loader = MemoryLoader(batches * (args.steps // args.pool + 1), args.B)
 
     kcfg = resolve_kernel_config(args.arch, {"preset": args.preset})

@@ -60,7 +60,18 @@ def wordpiece_tokenize_fn(vocab_path: str | None = None, max_length: int = 50):
 
 
 def prepare_batch(batch, context_length: int = 77, tokenize_fn=None):
-    """Collated loader batch -> numeric arrays for the train step."""
+    """Collated loader batch -> numeric arrays for the train step.
+
+    Pre-tokenized batches (already carrying ``text_ids``) pass through —
+    the fast path for datasets tokenized at collate time or device-resident
+    pools."""
+    if "text_ids" in batch:
+        return batch
+
+    def cast(a, dt):
+        a = np.asarray(a)
+        return a if a.dtype == dt else a.astype(dt)
+
     text = batch["text"]
     if isinstance(text, list) and text and isinstance(text[0], list):
         flat = [cap for clip_caps in text for cap in clip_caps]  # clip-major concat
@@ -68,12 +79,12 @@ def prepare_batch(batch, context_length: int = 77, tokenize_fn=None):
         flat = list(text)
     tokenize_fn = tokenize_fn or clip_tokenize_fn(context_length)
     out = {
-        "video": batch["video"].astype(np.float32),
-        "keep_ind": batch["keep_ind"].astype(np.int32),
+        "video": cast(batch["video"], np.float32),
+        "keep_ind": cast(batch["keep_ind"], np.int32),
     }
     out.update(tokenize_fn(flat))
     if "label" in batch and np.ndim(batch["label"]) == 2:
-        out["labels"] = np.asarray(batch["label"]).astype(np.int32)
+        out["labels"] = cast(batch["label"], np.int32)
     return out
 
 
@@ -161,7 +172,17 @@ class Trainer:
     def _put(self, batch):
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
-        return batch
+        return jax.device_put(batch)
+
+    def _pipeline(self, dl):
+        """prepare_batch -> device placement, two batches in flight: host
+        tokenize/collate and the host->device copy overlap device compute
+        (the reference's pin_memory + non_blocking contract, TPU-style)."""
+        from tvts_tpu.data.prefetch import prefetch_to_device
+
+        prepared = (prepare_batch(raw, self.context_length, self.tokenize_fn)
+                    for raw in dl)
+        return prefetch_to_device(prepared, size=2, put=self._put)
 
     def resume(self, tag: str | None = None) -> int:
         """Restore params/optimizer/step from a checkpoint (reference
@@ -222,7 +243,7 @@ class Trainer:
         for dl in self.data_loaders:
             dl.set_epoch(epoch)
         len_epoch = self._len_epoch()
-        iters = [iter(dl) for dl in self.data_loaders]
+        iters = [self._pipeline(dl) for dl in self.data_loaders]
         totals = [0.0] * len(self.data_loaders)
         t0 = time.time()
 
@@ -246,11 +267,10 @@ class Trainer:
                     prof.__enter__()
                 for dl_idx in range(len(self.data_loaders)):
                     try:
-                        raw = next(iters[dl_idx])
+                        batch = next(iters[dl_idx])
                     except StopIteration:
-                        iters[dl_idx] = iter(self.data_loaders[dl_idx])
-                        raw = next(iters[dl_idx])
-                    batch = self._put(prepare_batch(raw, self.context_length, self.tokenize_fn))
+                        iters[dl_idx] = self._pipeline(self.data_loaders[dl_idx])
+                        batch = next(iters[dl_idx])
                     self.state, aux = self.train_step(self.state, batch)
                     host_step += 1
                     pending.append((dl_idx, host_step, aux))
