@@ -42,9 +42,9 @@ FUSED_KW = dict(dtype=jnp.float32, time_chunk=8, space_mode="pallas_v10",
 @pytest.mark.parametrize("dp,fsdp,text_mode",
                          [(4, 2, "xla"), (2, 1, "pallas")])
 def test_sharded_fused_loss_and_grads_match_unsharded(dp, fsdp, text_mode):
-    """text_mode='pallas' additionally certifies the fused text kernels'
-    own shard_map (text rows split over the data axes) against the
-    unsharded XLA-text fused path."""
+    """text_mode='pallas' additionally certifies the fused text AND sort
+    kernels' own shard_maps (rows split over the data axes) against the
+    unsharded XLA fused path."""
     cfg, model, params, batch = _setup(B=8)
     mesh = create_mesh(dp=dp, fsdp=fsdp,
                        devices=jax.devices()[: dp * fsdp])
@@ -53,7 +53,8 @@ def test_sharded_fused_loss_and_grads_match_unsharded(dp, fsdp, text_mode):
               n_keep=cfg.vision.n_keep)
     apply_plain = make_fused_train_apply(**mk, **FUSED_KW)
     apply_sharded = make_fused_train_apply(**mk, **FUSED_KW, mesh=mesh,
-                                           text_mode=text_mode)
+                                           text_mode=text_mode,
+                                           sort_mode=text_mode)
 
     loss_plain = make_loss_fn(model, apply_fn=apply_plain)
     loss_sharded = make_loss_fn(model, apply_fn=apply_sharded)

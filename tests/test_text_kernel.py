@@ -159,6 +159,43 @@ def test_text_transformer_tune_from_matches_full_grads_on_tuned():
     assert not np.any(np.asarray(g_tf["blocks_0"]["mlp"]["c_fc"]["kernel"]))
 
 
+def test_sort_transformer_fused_forward_matches_apply():
+    """Fused sort forward (causal=False kernels, eps 1e-6, text-rows tail)
+    vs the flax SortTransformer — outputs and grads."""
+    from tvts_tpu.models.configs import SortConfig
+    from tvts_tpu.models.sort import SortTransformer
+    from tvts_tpu.ops.pallas_text_attention import (
+        sort_transformer_fused_forward,
+    )
+
+    cfg = SortConfig(embed_dim=32, num_heads=4, depth=2, num_classes=4)
+    model = SortTransformer(cfg)
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.normal(size=(4, 4, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(4, 9, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), t, v)["params"]
+    want = model.apply({"params": params}, t, v)
+    got = sort_transformer_fused_forward(params, cfg, t, v,
+                                         dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn):
+        return lambda p, tt, vv: jnp.sum(jnp.sin(fn(p, tt, vv)))
+
+    g_ref = jax.grad(loss(lambda p, tt, vv: model.apply({"params": p}, tt, vv)),
+                     argnums=(0, 1, 2))(params, t, v)
+    g_fus = jax.grad(loss(lambda p, tt, vv: sort_transformer_fused_forward(
+        p, cfg, tt, vv, dtype=jnp.float32, interpret=True)),
+        argnums=(0, 1, 2))(params, t, v)
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_fus)[0]
+    for (path, a), (_, b) in zip(flat_f, flat_r):
+        name = "/".join(str(getattr(q, "key", q)) for q in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
 def test_text_transformer_fused_forward_matches_apply(act):
     from tvts_tpu.ops.pallas_text_attention import (

@@ -37,3 +37,12 @@ echo "=== [7] fixed adamw probe (chained in-graph)"
 timeout 1800 python tools/adamw_probe.py
 
 echo "=== done2"
+
+echo "=== [8] trainer loop overhead, device-resident pool"
+TVTS_TPU_TRAIN_FUSED=1 timeout 3000 python tools/trainer_overhead_bench.py \
+  -B 20 --steps 40 --device_pool
+
+echo "=== [9] trainer epoch, realistic host batches (pipelined input path)"
+TVTS_TPU_TRAIN_FUSED=1 timeout 3000 python tools/trainer_overhead_bench.py \
+  -B 20 --steps 40
+echo "=== done3"

@@ -715,6 +715,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
                            smv: str | None = None,
                            text_mode: str = "xla",
                            text_tune_from: int | None = None,
+                           sort_mode: str = "xla",
                            interpret: bool = False,
                            mesh=None, data_axes=("dp", "fsdp")):
     """Apply adapter for train/step.make_train_step(apply_fn=...): the video
@@ -804,6 +805,34 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
             return model.apply({"params": params}, ids,
                                method=lambda m, t: m.compute_text(t))
 
+    if sort_mode == "pallas":
+        from tvts_tpu.ops.pallas_text_attention import (
+            sort_transformer_fused_forward,
+        )
+
+        def sort_fwd(sparams, sort_text, tokens):
+            return sort_transformer_fused_forward(
+                sparams, cfg.sort, sort_text, tokens, dtype=dtype,
+                interpret=interpret)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            saxes = tuple(a for a in data_axes if a in mesh.axis_names
+                          and mesh.shape[a] > 1) or None
+            if saxes is not None:
+                sort_fwd = jax.shard_map(
+                    sort_fwd, mesh=mesh,
+                    in_specs=(P(), P(saxes), P(saxes)),
+                    out_specs=P(saxes), check_vma=False)
+
+        def compute_sort(params, sort_text, tokens):
+            return sort_fwd(params["pred_model"], sort_text, tokens)
+    else:
+        def compute_sort(params, sort_text, tokens):
+            return model.apply({"params": params}, sort_text, tokens,
+                               method=lambda m, a, b: m.pred_model(a, b))
+
     def apply(params, batch):
         video, text_ids = batch["video"], batch["text_ids"]
         keep_ind = batch.get("keep_ind")
@@ -816,9 +845,7 @@ def make_fused_train_apply(model, cfg, num_frames: int, n_keep: int,
         predict_order = None
         if n_trans != 1:
             sort_text = jax.lax.stop_gradient(per_clip).transpose(1, 0, 2)
-            predict_order = model.apply(
-                {"params": params}, sort_text, tokens,
-                method=lambda m, a, b: m.pred_model(a, b))
+            predict_order = compute_sort(params, sort_text, tokens)
         return text_embeddings, pooled, predict_order
 
     return apply

@@ -65,6 +65,10 @@ _KEYS = (
     # causal-attention kernel, ops/pallas_text_attention.py — kills the
     # [B,H,S,S] HBM softmax round trips; PERF.md round 5)
     ("text_mode", "text_mode", "TVTS_TEXT_MODE", str),
+    # sort-head attention sub-path: "xla" or "pallas" (the same fused
+    # kernel family, causal=False, eps 1e-6 — kills the [B,H,~1181,~1181]
+    # HBM probs traffic)
+    ("sort_mode", "sort_mode", "TVTS_SORT_MODE", str),
     # interpret=True runs the Pallas kernels via the interpreter (CPU-device
     # test runs — the CLI smoke tests drive the production script on the
     # 8-virtual-CPU mesh this way; never set on real TPU runs)
@@ -74,7 +78,7 @@ _KEYS = (
 _BASE = dict(space_mode="pallas_v10r", time_mode="pallas", mlp_mode="xla",
              layout="row", space_fpp=None, time_chunk=128, save_acts=True,
              scan_blocks=False, time_vmem_mb=100, smv=None,
-             text_mode="xla", interpret=False)
+             text_mode="xla", sort_mode="xla", interpret=False)
 
 # Memory-neutral defaults (safe at any measured batch).
 KERNEL_DEFAULTS = {

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tvts_tpu.ops.pallas_block_attention import _compiler_params, _ln_fn
+from tvts_tpu.ops.pallas_block_attention import _compiler_params
 
 NEG_BIG = -1e30  # additive causal bias; exp underflows to exactly 0.0 in f32
 
@@ -40,15 +40,24 @@ def _causal_bias(S: int) -> jnp.ndarray:
     return jnp.where(col <= row, 0.0, NEG_BIG).astype(jnp.float32)
 
 
-def _make_text_fwd_kernel(H: int, RPP: int, causal: bool):
+def _make_text_fwd_kernel(H: int, RPP: int, causal: bool,
+                          eps: float = 1e-5):
     def kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bq_ref, bk_ref, bv_ref,
                wproj_ref, bproj_ref, o_ref):
         S = x_ref.shape[1]
         D = x_ref.shape[2]
         d = D // H
         dtype = o_ref.dtype
-        layernorm = _ln_fn(ln_s_ref[0].astype(jnp.float32),
-                           ln_b_ref[0].astype(jnp.float32))
+        ln_s = ln_s_ref[0].astype(jnp.float32)
+        ln_b = ln_b_ref[0].astype(jnp.float32)
+
+        def layernorm(t):
+            tf = t.astype(jnp.float32)
+            mu = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+            return (tf - mu) * jax.lax.rsqrt(var + eps) * ln_s[None] \
+                + ln_b[None]
+
         scale = jnp.asarray(d, jnp.float32) ** -0.5
 
         x_flat = x_ref[...].reshape(RPP * S, D)
@@ -92,7 +101,7 @@ def _make_text_fwd_kernel(H: int, RPP: int, causal: bool):
 
 def fused_text_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                bproj, num_heads: int, causal: bool = True,
-                               rpp: int | None = None,
+                               rpp: int | None = None, eps: float = 1e-5,
                                interpret: bool = False):
     """x: [B, S, D] -> x + Proj(CausalAttn(LN(x))), one kernel (no HBM
     probs). rpp: sequences per program (amortizes weight DMAs / fixed
@@ -110,7 +119,7 @@ def fused_text_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     wproj_spec = pl.BlockSpec((D, D), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_text_fwd_kernel(num_heads, rpp, causal),
+        _make_text_fwd_kernel(num_heads, rpp, causal, eps=eps),
         grid=(B // rpp,),
         in_specs=[x_spec, vec_spec, vec_spec, wqkv_spec, vec_spec, vec_spec,
                   vec_spec, wproj_spec, vec_spec],
@@ -123,7 +132,7 @@ def fused_text_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
 
 def _make_text_bwd_kernel(H: int, RPP: int, causal: bool,
-                          frozen: bool = False):
+                          frozen: bool = False, eps: float = 1e-5):
     """frozen=True: the block's weights are in the optimizer's frozen group
     (zero updates), so the kernel computes ONLY dx — the dW/db/dLN
     accumulations (the big-K weight-grad matmuls) are skipped entirely.
@@ -156,7 +165,7 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool,
         scale = jnp.asarray(d, jnp.float32) ** -0.5
 
         x_flat = x_ref[...].reshape(RPP * S, D)
-        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b)
+        x_ln_f, xhat, rstd = _ln_fwd(x_flat, ln_s, ln_b, eps=eps)
         x_ln = x_ln_f.astype(dtype)
         q = ((jnp.dot(x_ln, wqkv_ref[:, :D],
                       preferred_element_type=jnp.float32) + bq) * scale) \
@@ -255,7 +264,7 @@ def _make_text_bwd_kernel(H: int, RPP: int, causal: bool,
 def fused_text_attention_block_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, num_heads: int, causal: bool = True,
                                    rpp: int | None = None,
-                                   frozen: bool = False,
+                                   frozen: bool = False, eps: float = 1e-5,
                                    interpret: bool = False):
     B, S, D = x.shape
     if rpp is None:
@@ -280,7 +289,8 @@ def fused_text_attention_block_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
                      acc((D, 3 * D)), acc((1, D)), acc((1, D)), acc((1, D)),
                      acc((D, D)), acc((1, D)), acc((1, D)), acc((1, D)))
     outs = pl.pallas_call(
-        _make_text_bwd_kernel(num_heads, rpp, causal, frozen=frozen),
+        _make_text_bwd_kernel(num_heads, rpp, causal, frozen=frozen,
+                              eps=eps),
         grid=(B // rpp,),
         in_specs=[x_spec, x_spec, vec_spec, vec_spec, wqkv_spec, vec_spec,
                   vec_spec, vec_spec, wproj_spec],
@@ -302,7 +312,7 @@ def fused_text_attention_block_bwd(g, x, ln_scale, ln_bias, wqkv, bqkv,
 
 def make_text_subpath(num_heads: int, causal: bool = True,
                       rpp: int | None = None, frozen: bool = False,
-                      interpret: bool = False):
+                      eps: float = 1e-5, interpret: bool = False):
     """Differentiable fused text-attention sub-path:
     f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj) -> x + Attn path.
     frozen=True: the backward computes only dx (weight cotangents are
@@ -315,7 +325,8 @@ def make_text_subpath(num_heads: int, causal: bool = True,
     def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         return fused_text_attention_block(
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-            num_heads=num_heads, causal=causal, rpp=rpp, interpret=interpret)
+            num_heads=num_heads, causal=causal, rpp=rpp, eps=eps,
+            interpret=interpret)
 
     def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj):
         out = f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
@@ -327,7 +338,7 @@ def make_text_subpath(num_heads: int, causal: bool = True,
             fused_text_attention_block_bwd(
                 g, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                 num_heads=num_heads, causal=causal, rpp=rpp, frozen=frozen,
-                interpret=interpret)
+                eps=eps, interpret=interpret)
         return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
 
     f.defvjp(fwd, bwd)
@@ -411,3 +422,67 @@ def text_transformer_fused_forward(params, cfg, token_ids, dtype=jnp.bfloat16,
                         cfg.act, dtype)
     pooled = _layernorm(x, params["ln_final"])[:, 0]
     return pooled @ params["text_projection"].astype(dtype)
+
+
+def _sort_tail_block(x, bp, n_text, H, dtype):
+    """The LAST sort block narrowed to the text-position rows (the exact
+    dead-work trim of models/sort.py::SortBlock(tail=...), spelled on the
+    raw param tree for the fused forward). LN eps 1e-6 per the sort
+    contract."""
+    from tvts_tpu.ops.fused_forward import _layernorm, _mlp
+
+    B, S, D = x.shape
+    d = D // H
+    wqkv = bp["attn"]["qkv"]["kernel"].astype(dtype)
+    bqkv = bp["attn"]["qkv"]["bias"].astype(dtype)
+    x_ln = _layernorm(x, bp["norm1"], eps=1e-6)
+    k = x_ln @ wqkv[:, D:2 * D] + bqkv[D:2 * D]
+    v = x_ln @ wqkv[:, 2 * D:] + bqkv[2 * D:]
+    q = (x_ln[:, -n_text:] @ wqkv[:, :D] + bqkv[:D]) * (d ** -0.5)
+    qh = q.reshape(B, n_text, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhid,bhjd->bhij", qh, kh)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhij,bhjd->bhid", p, vh) \
+        .transpose(0, 2, 1, 3).reshape(B, n_text, D)
+    o = o @ bp["attn"]["proj"]["kernel"].astype(dtype) \
+        + bp["attn"]["proj"]["bias"].astype(dtype)
+    xt = x[:, -n_text:] + o
+    return xt + _mlp(_layernorm(xt, bp["norm2"], eps=1e-6), bp["mlp"], "gelu")
+
+
+def sort_transformer_fused_forward(params, cfg, text_tokens, video_tokens,
+                                   dtype=jnp.bfloat16,
+                                   interpret: bool = False):
+    """SortTransformer.__call__ (models/sort.py) with the full-attention
+    sub-path of every non-final block running the fused kernel
+    (causal=False — kills the [B, H, S, S] HBM probs at S ~ 1181) and the
+    final block's exact text-rows-only trim. Same params tree as the flax
+    module; LN eps 1e-6 throughout per the sort contract
+    (reference v2/model/sort_transformer.py)."""
+    from tvts_tpu.ops.fused_forward import _layernorm, _mlp
+
+    type_embed = params["type_embed"].astype(dtype)
+    v = video_tokens + type_embed[:, 0:1]
+    t = text_tokens + type_embed[:, 1:2]
+    x = jnp.concatenate([v, t], axis=1)
+    n_text = t.shape[1]
+    H = cfg.num_heads
+    # rpp=1: at S ~ 1181 one row's backward working set already approaches
+    # the VMEM budget (per-head [S, S] f32 logits/probs chains)
+    sub = make_text_subpath(H, causal=False, rpp=1, eps=1e-6,
+                            interpret=interpret)
+    for i in range(cfg.depth - 1):
+        bp = params[f"blocks_{i}"]
+        x = sub(x, bp["norm1"]["scale"], bp["norm1"]["bias"],
+                bp["attn"]["qkv"]["kernel"].astype(dtype),
+                bp["attn"]["qkv"]["bias"].astype(dtype),
+                bp["attn"]["proj"]["kernel"].astype(dtype),
+                bp["attn"]["proj"]["bias"].astype(dtype))
+        x = x + _mlp(_layernorm(x, bp["norm2"], eps=1e-6), bp["mlp"], "gelu")
+    x = _sort_tail_block(x, params[f"blocks_{cfg.depth - 1}"], n_text, H,
+                         dtype)
+    x = _layernorm(x, params["norm"], eps=1e-6)
+    return x @ params["head"]["kernel"].astype(dtype) \
+        + params["head"]["bias"].astype(dtype)
