@@ -96,10 +96,12 @@ KERNEL_DEFAULTS = {
 # fused text tower (text_mode="pallas" + the callers' text_tune_from) is
 # a measured win at B/16 (105.4 -> 106.7 at B=20) and H/14 (12.01 ->
 # 12.28 at B=8); a wash at B/32 (118.55 -> 118.85, inside the noise band)
-# where the N=49 tower dominates — left "xla" there.
+# where the N=49 tower dominates — left "xla" there. The fused sort head
+# (sort_mode="pallas") adds 106.7 -> 108.6 at B/16 B=20.
 KERNEL_BEST = {
     "TVTSv2_B_16": dict(_BASE, space_mode="pallas_v10", space_fpp=4,
-                        time_mode="pallas_tps", text_mode="pallas"),
+                        time_mode="pallas_tps", text_mode="pallas",
+                        sort_mode="pallas"),
     "TVTSv2_B_32": dict(_BASE, space_mode="pallas_v2", time_chunk=64),
     "TVTSv2_H_14": dict(_BASE, space_mode="pallas", time_mode="xla",
                         save_acts=False, text_mode="pallas"),
