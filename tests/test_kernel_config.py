@@ -78,3 +78,20 @@ def test_bad_preset_raises():
 def test_tables_cover_all_archs():
     for table in (KERNEL_DEFAULTS, KERNEL_BEST):
         assert set(table) == {"TVTSv2_B_16", "TVTSv2_B_32", "TVTSv2_H_14"}
+
+
+def test_preset_kwargs_match_fused_apply_signature():
+    """Every key a preset table can emit must be an accepted kwarg of
+    make_fused_train_apply — catches preset/signature drift (the round-5
+    text_mode/sort_mode additions made this a real hazard)."""
+    import inspect
+
+    from tvts_tpu.ops.fused_forward import make_fused_train_apply
+    from tvts_tpu.ops.kernel_config import resolve_kernel_config
+
+    accepted = set(inspect.signature(make_fused_train_apply).parameters)
+    for arch in ("TVTSv2_B_16", "TVTSv2_B_32", "TVTSv2_H_14"):
+        for preset in ("default", "best"):
+            kcfg = resolve_kernel_config(arch, {"preset": preset}, env={})
+            assert set(kcfg) <= accepted, (arch, preset,
+                                           set(kcfg) - accepted)
